@@ -1,0 +1,77 @@
+"""Detector configuration + backend registry + eager validation.
+
+Mirrors the reference's parameter surface (ref: isaac_ros_apriltag/src/
+apriltag_node.cpp:564-568: max_tags=64, size=0.22, tile_size=4,
+tag_family="tag36h11", backends="CUDA") and its constructor-time
+family-vs-backend validation (ref: apriltag_node.cpp:584-599), re-expressed as
+a frozen dataclass validated eagerly at construction.
+
+Backends (the reference's CPU|CUDA|PVA trait, ref: apriltag_node.cpp:576-582):
+  - 'xla'       pure jax.numpy reference pipeline (correctness oracle)
+  - 'pallas'    Pallas TPU kernels on the hot stages
+  - 'interpret' Pallas kernels in interpreter mode (debugging / CI on CPU)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from .models.families import FAMILY_SPECS, family_names
+
+BACKENDS = ("xla", "pallas", "interpret")
+
+# Family support matrix per backend. Unlike the reference — whose CUDA backend
+# supports only tag36h11 (ref: apriltag_node.cpp:429-432, README.md:49-59) —
+# every TPU backend is table-driven and supports all nine families; the matrix
+# exists so configs stay validated if a restricted backend is ever added.
+BACKEND_FAMILIES = {b: tuple(family_names()) for b in BACKENDS}
+
+
+@dataclasses.dataclass(frozen=True)
+class DetectorConfig:
+    """Static (jit-constant) detector parameters."""
+
+    # Reference-visible parameters (apriltag_node.cpp:564-568).
+    tag_family: str = "tag36h11"
+    max_tags: int = 64
+    tag_size: float = 0.22          # edge length of the border square, meters
+    tile_size: int = 4              # adaptive-threshold tile edge, pixels
+    backend: str = "pallas"
+
+    # TPU pipeline capacities (all static; data-dependent counts are handled
+    # with validity masks, same tradeoff as the reference's max_tags arrays,
+    # ref: apriltag_node.cpp:285-289).
+    max_edge_points: int = 1 << 17   # compacted boundary points per frame
+    max_clusters: int = 128          # candidate boundary clusters kept
+    max_cluster_points: int = 1024   # points retained per cluster
+    ccl_rounds: int = 6              # scan/propagate/jump rounds (see ops/ccl.py)
+    ccl_jumps: int = 2               # pointer-jumping passes per round
+
+    # Threshold / segmentation tuning (AprilTag-3 standard values).
+    min_white_black_diff: int = 5
+    min_cluster_pixels: int = 24
+    min_component_pixels: int = 25
+
+    # Decode tuning.
+    max_hamming: int = 2
+    decode_sharpening: float = 0.25
+    min_decision_margin: float = 10.0
+
+    def __post_init__(self):
+        if self.backend not in BACKENDS:
+            raise ValueError(f"Invalid backend {self.backend!r}; expected one of {BACKENDS}")
+        if self.tag_family not in FAMILY_SPECS:
+            raise ValueError(
+                f"Invalid tag family {self.tag_family!r}; expected one of {family_names()}")
+        if self.tag_family not in BACKEND_FAMILIES[self.backend]:
+            raise ValueError(
+                f"Tag family {self.tag_family!r} not supported by backend {self.backend!r}")
+        if self.max_tags <= 0 or self.max_tags > self.max_clusters:
+            raise ValueError("max_tags must be in (0, max_clusters]")
+        if self.tile_size < 2:
+            raise ValueError("tile_size must be >= 2")
+        fam_h = FAMILY_SPECS[self.tag_family][1]
+        if self.max_hamming > (fam_h - 1) // 2:
+            raise ValueError(
+                f"max_hamming={self.max_hamming} too large for {self.tag_family} "
+                f"(min distance {fam_h})")

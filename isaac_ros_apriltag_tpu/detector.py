@@ -1,0 +1,165 @@
+"""AprilTag detector: config + camera -> jit-compiled detect(frame).
+
+TPU-native replacement for the reference's AprilTagNode + backend impls
+(ref: isaac_ros_apriltag/src/apriltag_node.cpp:562-633). There is no
+middleware: `detect` is a pure function image -> Detections, compiled once
+per (shape, encoding) — the analog of the reference's freeze-at-first-frame
+lazy init (ref: apriltag_node.cpp:618-620). Backends mirror the reference's
+CPU|CUDA|PVA dispatch (ref: apriltag_node.cpp:576-582): 'xla' is the pure
+jax.numpy oracle, 'pallas' swaps hot stages for TPU kernels, 'interpret'
+runs those kernels in interpreter mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .camera.model import CameraModel
+from .config import DetectorConfig
+from .models.families import TagFamily, get_family
+from .ops.ccl import component_sizes, connected_components
+from .ops.clusters import extract_clusters
+from .ops.decode import decode_quads
+from .ops.grayscale import grayscale
+from .ops.pose import estimate_poses
+from .ops.quadfit import fit_quads
+from .ops.threshold import adaptive_threshold
+from .types import Detections, FrameStats
+from .utils.geometry import line_intersection
+
+
+def _pad_to_tiles(gray: jax.Array, ts: int) -> jax.Array:
+    H, W = gray.shape
+    ph = (-H) % ts
+    pw = (-W) % ts
+    if ph or pw:
+        gray = jnp.pad(gray, ((0, ph), (0, pw)), mode="edge")
+    return gray
+
+
+def _dedupe(valid, ids, margin, corners):
+    """Suppress duplicate detections of the same id with overlapping extent.
+
+    A tag can yield several candidate quads (outer border + interior
+    structure); keep the best decision margin. Vectorized (T, T) pairwise
+    suppression."""
+    center = jnp.mean(corners, axis=1)                       # (T, 2)
+    edge = jnp.mean(jnp.linalg.norm(
+        corners - jnp.roll(corners, 1, 1), axis=-1), axis=-1)  # (T,)
+    d = jnp.linalg.norm(center[:, None] - center[None, :], axis=-1)
+    near = d < 0.75 * jnp.maximum(edge[:, None], edge[None, :])
+    same = ids[:, None] == ids[None, :]
+    both = valid[:, None] & valid[None, :]
+    # i suppresses j if better margin (ties: lower index wins)
+    idx = jnp.arange(ids.shape[0])
+    better = (margin[:, None] > margin[None, :]) | (
+        (margin[:, None] == margin[None, :]) & (idx[:, None] < idx[None, :]))
+    suppressed = jnp.any(near & same & both & better, axis=0)
+    return valid & ~suppressed
+
+
+def build_detect_fn(config: DetectorConfig, camera: CameraModel,
+                    encoding: str = "rgb8"):
+    """Returns a pure function image -> (Detections, FrameStats)."""
+    family = get_family(config.tag_family)
+    cfg = config
+
+    def detect(image: jax.Array) -> tuple[Detections, FrameStats]:
+        gray = grayscale(image, encoding)
+        gray = _pad_to_tiles(gray, cfg.tile_size)
+
+        trinary = adaptive_threshold(gray, cfg.tile_size, cfg.min_white_black_diff)
+        label = connected_components(trinary, cfg.ccl_rounds, cfg.ccl_jumps)
+        sizes = component_sizes(label)
+        clusters = extract_clusters(
+            trinary, label, sizes,
+            max_edge_points=cfg.max_edge_points,
+            max_clusters=cfg.max_clusters,
+            max_cluster_points=cfg.max_cluster_points,
+            min_component_pixels=cfg.min_component_pixels,
+            min_cluster_pixels=cfg.min_cluster_pixels)
+        quads = fit_quads(clusters)
+        # Border polarity gate: normal families have a dark interior.
+        want_dark = not family.reversed_border
+        qvalid = quads.valid & (quads.dark_inside == want_dark)
+
+        dec = decode_quads(gray, quads.corners, family,
+                           max_hamming=cfg.max_hamming,
+                           decode_sharpening=cfg.decode_sharpening)
+        cand = (qvalid & dec.valid
+                & (dec.margin >= cfg.min_decision_margin))
+
+        # --- top max_tags by decision margin ------------------------------
+        T = cfg.max_tags
+        score = jnp.where(cand, dec.margin, -jnp.inf)
+        top_score, top_i = jax.lax.top_k(score, T)
+        sel_valid = jnp.isfinite(top_score)
+        sel_ids = dec.id[top_i]
+        sel_margin = dec.margin[top_i]
+        sel_ham = dec.hamming[top_i]
+        sel_corners = dec.corners[top_i]
+
+        sel_valid = _dedupe(sel_valid, sel_ids, sel_margin, sel_corners)
+
+        # Center = intersection of the two diagonals, exactly as the
+        # reference's CUDA backend computes it (apriltag_node.cpp:520-530).
+        center = line_intersection(
+            sel_corners[:, 0], sel_corners[:, 2] - sel_corners[:, 0],
+            sel_corners[:, 1], sel_corners[:, 3] - sel_corners[:, 1])
+
+        poses = estimate_poses(sel_corners, camera.K, cfg.tag_size)
+
+        det = Detections(
+            valid=sel_valid,
+            id=jnp.where(sel_valid, sel_ids, -1),
+            hamming=sel_ham,
+            decision_margin=sel_margin,
+            center=center,
+            corners=sel_corners,
+            translation=poses.translation,
+            quaternion=poses.quaternion,
+            rotation=poses.rotation,
+        )
+        stats = FrameStats(
+            num_edge_points=clusters.num_edge_points,
+            num_clusters=clusters.num_clusters,
+            num_quads=jnp.sum(qvalid.astype(jnp.int32)),
+            num_detections=jnp.sum(sel_valid.astype(jnp.int32)),
+        )
+        return det, stats
+
+    return detect
+
+
+class Detector:
+    """User-facing detector (the reference's AprilTagNode analog).
+
+    Validates config eagerly (ctor-time errors, like apriltag_node.cpp:
+    584-599) and jit-compiles one detect function per input encoding.
+    """
+
+    def __init__(self, config: DetectorConfig | None = None,
+                 camera: CameraModel | None = None):
+        self.config = config or DetectorConfig()
+        if camera is None:
+            raise ValueError("camera is required (CameraModel.create / from_camera_info)")
+        self.camera = camera
+        self.family: TagFamily = get_family(self.config.tag_family)
+        self._jitted: dict[str, object] = {}
+
+    def _fn(self, encoding: str):
+        if encoding not in self._jitted:
+            self._jitted[encoding] = jax.jit(
+                build_detect_fn(self.config, self.camera, encoding))
+        return self._jitted[encoding]
+
+    def detect(self, image, encoding: str = "rgb8") -> Detections:
+        det, _ = self._fn(encoding)(jnp.asarray(image))
+        return det
+
+    def detect_with_stats(self, image, encoding: str = "rgb8"
+                          ) -> tuple[Detections, FrameStats]:
+        return self._fn(encoding)(jnp.asarray(image))

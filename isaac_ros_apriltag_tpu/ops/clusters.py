@@ -1,0 +1,163 @@
+"""Boundary-point extraction and clustering by component pair.
+
+AprilTag 3 walks every black/white neighboring pixel pair and buckets the
+midpoints by the (black component, white component) id pair; each bucket is a
+candidate quad boundary. The reference does this inside closed CUDA kernels.
+
+TPU-native formulation (no hash tables, no dynamic allocation):
+  1. evaluate all 4*H*W neighbor pairs densely (VPU);
+  2. compact valid boundary points into a fixed-capacity buffer via
+     cumsum + scatter (two HBM passes);
+  3. lexicographic sort by (black_label, white_label) — jax.lax.sort with
+     num_keys=2 — so each cluster becomes a contiguous segment;
+  4. segment bookkeeping (boundaries, sizes, starts) with cumsums/scatters;
+  5. keep the top `max_clusters` segments by size and scatter their first
+     `max_cluster_points` points into a dense (C, P) tensor.
+
+Coordinates use AprilTag's doubled convention: a pair at pixel p with offset o
+yields the point 2*p + o, i.e. the midpoint in half-pixel units.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Neighbor offsets (dx, dy), matching AprilTag 3's gradient_clusters scan
+# (right, down, down-left, down-right).
+_OFFSETS = ((1, 0), (0, 1), (-1, 1), (1, 1))
+
+_I32MAX = jnp.iinfo(jnp.int32).max
+
+
+class Clusters(NamedTuple):
+    xy: jax.Array        # (C, P, 2) float32 — boundary points, pixel units
+    grad: jax.Array      # (C, P, 2) float32 — outward gradient (black->white)
+    mask: jax.Array      # (C, P) bool
+    count: jax.Array     # (C,) int32 — points per cluster (capped at P)
+    num_clusters: jax.Array  # () int32 — segments before the top-C cap
+    num_edge_points: jax.Array  # () int32 — boundary points before capacity cap
+
+
+def _shift(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
+    out = jnp.roll(x, (-dy, -dx), (0, 1))
+    if dy == 1:
+        out = out.at[-1, :].set(fill)
+    if dy == -1:
+        out = out.at[0, :].set(fill)
+    if dx == 1:
+        out = out.at[:, -1].set(fill)
+    if dx == -1:
+        out = out.at[:, 0].set(fill)
+    return out
+
+
+def extract_clusters(trinary: jax.Array, label: jax.Array, sizes: jax.Array,
+                     *, max_edge_points: int, max_clusters: int,
+                     max_cluster_points: int, min_component_pixels: int,
+                     min_cluster_pixels: int) -> Clusters:
+    H, W = trinary.shape
+    E, C, P = max_edge_points, max_clusters, max_cluster_points
+
+    kb_all, kw_all, pxy_all, g_all, m_all = [], [], [], [], []
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    for dx, dy in _OFFSETS:
+        v0 = trinary
+        v1 = _shift(trinary, dy, dx, jnp.uint8(127))
+        pair = (v0.astype(jnp.int32) + v1.astype(jnp.int32)) == 255
+        l0, l1 = label, _shift(label, dy, dx, jnp.int32(0))
+        p_black = v0 == 0
+        lb = jnp.where(p_black, l0, l1)
+        lw = jnp.where(p_black, l1, l0)
+        big = (sizes[lb] >= min_component_pixels) & (sizes[lw] >= min_component_pixels)
+        m = pair & big
+        x2 = 2 * xs + dx
+        y2 = 2 * ys + dy
+        # gradient points black -> white along the offset
+        sgn = jnp.where(p_black, jnp.int32(1), jnp.int32(-1))
+        gx = dx * sgn
+        gy = dy * sgn
+        kb_all.append(lb)
+        kw_all.append(lw)
+        pxy_all.append(x2 | (y2 << 14))          # pack: x2 < 2W <= 16384
+        g_all.append((gx + 1) | ((gy + 1) << 2))  # pack 2-bit fields
+        m_all.append(m)
+
+    kb = jnp.stack(kb_all).reshape(-1)
+    kw = jnp.stack(kw_all).reshape(-1)
+    pxy = jnp.stack(pxy_all).reshape(-1)
+    g = jnp.stack(g_all).reshape(-1)
+    mask = jnp.stack(m_all).reshape(-1)
+
+    # --- compaction into E-capacity buffers -------------------------------
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    num_edge = pos[-1] + 1
+    dest = jnp.where(mask & (pos < E), pos, E)
+    buf_kb = jnp.full((E + 1,), _I32MAX, jnp.int32).at[dest].set(kb)[:E]
+    buf_kw = jnp.full((E + 1,), _I32MAX, jnp.int32).at[dest].set(kw)[:E]
+    buf_pxy = jnp.zeros((E + 1,), jnp.int32).at[dest].set(pxy)[:E]
+    buf_g = jnp.zeros((E + 1,), jnp.int32).at[dest].set(g)[:E]
+
+    # --- sort by (black, white, hash) -------------------------------------
+    # The third key pseudo-randomizes in-segment order: the raw scan order is
+    # structured (e.g. exactly one left-edge and one right-edge point per row
+    # for a vertical edge), so a stride-k decimation over scan order can
+    # systematically delete one whole edge. Over hash order it is a uniform
+    # spatial subsample.
+    buf_hash = jnp.where(
+        buf_kb != _I32MAX,
+        (buf_pxy * jnp.int32(-1640531527)) & jnp.int32(0x7FFFFFFF),
+        _I32MAX)
+    skb, skw, _, spxy, sg = jax.lax.sort(
+        (buf_kb, buf_kw, buf_hash, buf_pxy, buf_g), num_keys=3)
+    entry_valid = skb != _I32MAX
+
+    # --- segments ---------------------------------------------------------
+    first = jnp.concatenate([jnp.array([True]),
+                             (skb[1:] != skb[:-1]) | (skw[1:] != skw[:-1])])
+    first = first & entry_valid
+    seg_id = jnp.cumsum(first.astype(jnp.int32)) - 1          # (E,)
+    seg_id = jnp.where(entry_valid, seg_id, E)
+    nseg = jnp.max(jnp.where(entry_valid, seg_id, -1)) + 1
+    iota = jnp.arange(E, dtype=jnp.int32)
+    seg_size = jnp.zeros((E + 1,), jnp.int32).at[seg_id].add(1)[:E]
+    seg_start = jnp.full((E + 1,), _I32MAX, jnp.int32).at[seg_id].min(iota)[:E]
+
+    # --- pick top-C segments by size --------------------------------------
+    # Gate: big enough, and not absurdly large (a quad's perimeter is at most
+    # 2*(2W + 2H) points, AprilTag 3's same sanity bound).
+    max_perimeter = 2 * (2 * W + 2 * H)
+    eligible = (seg_size >= min_cluster_pixels) & (seg_size <= max_perimeter)
+    gated = jnp.where(eligible, seg_size, 0)
+    top_sizes, top_segs = jax.lax.top_k(gated, C)
+    slot_valid = top_sizes > 0
+    slot_of_seg = jnp.full((E + 1,), -1, jnp.int32).at[
+        jnp.where(slot_valid, top_segs, E)].set(jnp.arange(C, dtype=jnp.int32))
+
+    # --- scatter points into (C, P) ---------------------------------------
+    # Segments larger than P are stride-decimated (not truncated) so the fit
+    # still sees the whole boundary — truncation would drop a contiguous arc.
+    seg_c = jnp.clip(seg_id, 0, E)
+    slot = slot_of_seg[seg_c]
+    rank = iota - seg_start[seg_c]
+    stride = jnp.maximum((seg_size[seg_c] + P - 1) // P, 1)
+    ok = entry_valid & (slot >= 0) & (rank % stride == 0) & (rank // stride < P)
+    dest2 = jnp.where(ok, slot * P + rank // stride, C * P)
+    flat_pxy = jnp.zeros((C * P + 1,), jnp.int32).at[dest2].set(spxy)[:C * P]
+    flat_g = jnp.zeros((C * P + 1,), jnp.int32).at[dest2].set(sg)[:C * P]
+    flat_ok = jnp.zeros((C * P + 1,), bool).at[dest2].set(ok)[:C * P]
+
+    x2 = (flat_pxy & 0x3FFF).astype(jnp.float32)
+    y2 = (flat_pxy >> 14).astype(jnp.float32)
+    xy = jnp.stack([x2 * 0.5, y2 * 0.5], -1).reshape(C, P, 2)
+    gx = ((flat_g & 0x3) - 1).astype(jnp.float32)
+    gy = (((flat_g >> 2) & 0x3) - 1).astype(jnp.float32)
+    grad = jnp.stack([gx, gy], -1).reshape(C, P, 2)
+    top_stride = jnp.maximum((top_sizes + P - 1) // P, 1)
+    count = jnp.where(slot_valid, (top_sizes + top_stride - 1) // top_stride, 0)
+
+    return Clusters(xy=xy, grad=grad, mask=flat_ok.reshape(C, P),
+                    count=count, num_clusters=nseg, num_edge_points=num_edge)

@@ -1,0 +1,68 @@
+"""Composable perception pipeline: rectify -> resize -> detect.
+
+TPU-native replacement for the reference's launch-file node graph
+(camera -> RectifyNode -> ResizeNode -> AprilTagNode, ref:
+launch/isaac_ros_apriltag_usb_cam.launch.py:28-90, README.md:16-29). Stages
+are pure functions composed inside ONE jit region, so XLA fuses the whole
+graph and intermediate images never leave HBM — the role NITROS zero-copy
+transport plays in the reference (README.md:61-63) falls out of the
+programming model for free.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .camera.model import CameraModel
+from .config import DetectorConfig
+from .detector import build_detect_fn
+from .ops.grayscale import grayscale
+from .ops.remap import remap_bilinear, resize_area
+from .types import Detections, FrameStats
+
+
+class GraphPipeline:
+    """rectify (undistort) -> optional integer downscale -> detect.
+
+    Reproduces the reference's "AprilTag Graph" benchmark configuration and
+    the 8 MP -> 4:1 downscale path (README.md:24-26, :70).
+    """
+
+    def __init__(self, config: DetectorConfig, camera: CameraModel,
+                 downscale: int = 1, encoding: str = "rgb8"):
+        self.config = config
+        self.camera = camera
+        self.downscale = int(downscale)
+        self.encoding = encoding
+
+        if camera.has_distortion():
+            grid = camera.rectify_map()
+            self._grid = jnp.asarray(grid)
+        else:
+            self._grid = None
+        self.detect_camera = camera.scaled(1.0 / self.downscale) \
+            if self.downscale > 1 else camera
+        self._detect = build_detect_fn(config, self.detect_camera, "mono8")
+        self._jitted = jax.jit(self._run)
+
+    def _run(self, image: jax.Array) -> tuple[Detections, FrameStats]:
+        gray = grayscale(image, self.encoding)
+        if self._grid is not None:
+            gray = remap_bilinear(gray, self._grid)
+        if self.downscale > 1:
+            gray = resize_area(gray, self.downscale)
+        return self._detect(gray.astype(jnp.float32))
+
+    def __call__(self, image) -> tuple[Detections, FrameStats]:
+        return self._jitted(jnp.asarray(image))
+
+
+def batched_detect_fn(config: DetectorConfig, camera: CameraModel,
+                      encoding: str = "mono8"):
+    """vmap detect over a leading batch/camera axis: (B, H, W[, C]) frames."""
+    fn = build_detect_fn(config, camera, encoding)
+    return jax.vmap(fn)

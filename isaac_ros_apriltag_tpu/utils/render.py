@@ -1,0 +1,130 @@
+"""Synthetic tag-scene renderer (numpy, dev/test/bench only).
+
+The reference ships a golden 1920x1080 fixture image via git-LFS whose
+content is not present in this checkout (only the 134-byte pointer,
+ref: test/test_cases/apriltag0/image.png). The fixture's ground truth IS
+fully specified by the POL test (id, center, corners, pose — ref:
+test/isaac_ros_apriltag_pol_test.py:116-175), so we re-synthesize it: a
+pinhole projection of the real tag36h11 id=0 bitmap at the golden pose.
+
+The renderer is exact (supersampled plane intersection per pixel) and doubles
+as the scene generator for parity/fuzz tests and benchmarks.
+
+Frame conventions match ops/pose.py: for R = diag(-1,-1,1) (quaternion
+(0,0,0,1), the golden value) the tag appears upright; tag x points left in
+the bitmap, tag y up, tag z into the scene.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..models.families import TagFamily
+
+
+def render_tags(camera_K: np.ndarray, size: tuple[int, int],
+                tags: list[dict], *, background: float = 160.0,
+                supersample: int = 3, white: float = 255.0,
+                black: float = 10.0, noise: float = 0.0,
+                seed: int = 0) -> np.ndarray:
+    """Render tags onto a (H, W) grayscale uint8 image.
+
+    Each tag dict: {family: TagFamily, id: int, R: (3,3), t: (3,),
+    tag_size: float}. Pixel (i, j) has center (x=j, y=i).
+    """
+    H, W = size
+    S = supersample
+    K = np.asarray(camera_K, np.float64)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    # Subpixel sample coordinates.
+    js = (np.arange(W * S) + 0.5) / S - 0.5
+    is_ = (np.arange(H * S) + 0.5) / S - 0.5
+    xg, yg = np.meshgrid(js, is_)
+    dirx = (xg - cx) / fx
+    diry = (yg - cy) / fy
+
+    img = np.full((H * S, W * S), background, np.float64)
+    depth = np.full((H * S, W * S), np.inf)
+
+    for tag in tags:
+        fam: TagFamily = tag["family"]
+        grid = fam.code_grid(int(fam.codes[tag["id"]]))  # (tw, tw) {0,1}
+        tw, wb = fam.total_width, fam.width_at_border
+        off = (tw - wb) / 2.0
+        cell = tag["tag_size"] / wb
+        R = np.asarray(tag["R"], np.float64)
+        t = np.asarray(tag["t"], np.float64)
+
+        # Ray-plane intersection in tag frame: p_tag = R^T (lam*d - t), z=0.
+        d = np.stack([dirx, diry, np.ones_like(dirx)], -1)     # (h, w, 3)
+        Rt = R.T
+        dz = d @ Rt[2]                                          # (h, w)
+        tz = Rt[2] @ t
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lam = tz / dz
+        px = lam * (d @ Rt[0]) - Rt[0] @ t
+        py = lam * (d @ Rt[1]) - Rt[1] @ t
+
+        # Tag frame -> bitmap cell coords (x left, y up in bitmap).
+        u = wb / 2.0 - px / cell + off
+        v = wb / 2.0 - py / cell + off
+        ui = np.floor(u).astype(np.int64)
+        vi = np.floor(v).astype(np.int64)
+        inside = (lam > 0) & (ui >= 0) & (ui < tw) & (vi >= 0) & (vi < tw)
+        vals = np.where(grid[np.clip(vi, 0, tw - 1), np.clip(ui, 0, tw - 1)] > 0,
+                        white, black)
+        closer = inside & (lam < depth)
+        img = np.where(closer, vals, img)
+        depth = np.where(closer, lam, depth)
+
+    # Box-filter downsample.
+    img = img.reshape(H, S, W, S).mean(axis=(1, 3))
+    if noise > 0:
+        rng = np.random.default_rng(seed)
+        img = img + rng.normal(0.0, noise, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def project_corners(camera_K: np.ndarray, R: np.ndarray, t: np.ndarray,
+                    tag_size: float) -> np.ndarray:
+    """Ground-truth detection corners (4, 2) for a rendered tag.
+
+    Uses the detection corner convention of ops/pose.py (TAG_CORNERS).
+    """
+    from ..ops.pose import TAG_CORNERS
+
+    obj = np.concatenate([TAG_CORNERS * tag_size / 2.0,
+                          np.zeros((4, 1), np.float32)], -1)   # (4, 3)
+    cam = obj @ np.asarray(R, np.float64).T + np.asarray(t, np.float64)
+    K = np.asarray(camera_K, np.float64)
+    x = K[0, 0] * cam[:, 0] / cam[:, 2] + K[0, 2]
+    y = K[1, 1] * cam[:, 1] / cam[:, 2] + K[1, 2]
+    return np.stack([x, y], -1)
+
+
+def rotz(theta: float) -> np.ndarray:
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float64)
+
+
+def upright_pose(t: np.ndarray, inplane: float = 0.0) -> np.ndarray:
+    """R_camera_tag for an upright fronto-parallel tag, optionally rotated
+    in-plane by `inplane` radians. inplane=0 gives diag(-1,-1,1)."""
+    return rotz(np.pi + inplane)
+
+
+GOLDEN = dict(
+    # ref: test/isaac_ros_apriltag_pol_test.py:116-175 + test_cases/apriltag0/
+    family="tag36h11", id=0,
+    center=np.array([926.0, 547.0]),
+    corners=np.array([[1044.0, 665.0], [808.0, 665.0],
+                      [808.0, 429.0], [1044.0, 429.0]]),
+    translation=np.array([0.255342, 0.098358, 0.403961]),
+    quaternion_wxyz=np.array([0.0, 0.0, 0.0, 1.0]),
+    tag_size=0.22,
+    K=np.array([[434.943999, 0.0, 651.073921],
+                [0.0, 431.741273, 441.878037],
+                [0.0, 0.0, 1.0]]),
+    size=(1080, 1920),
+)
