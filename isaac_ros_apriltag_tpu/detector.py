@@ -26,6 +26,7 @@ from .ops.decode import decode_quads
 from .ops.grayscale import grayscale
 from .ops.pose import estimate_poses
 from .ops.quadfit import fit_quads
+from .ops.refine import refine_edges
 from .ops.threshold import adaptive_threshold
 from .types import Detections, FrameStats
 from .utils.geometry import line_intersection
@@ -71,7 +72,14 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
         gray = grayscale(image, encoding)
         gray = _pad_to_tiles(gray, cfg.tile_size)
 
-        trinary = adaptive_threshold(gray, cfg.tile_size, cfg.min_white_black_diff)
+        if cfg.backend in ("pallas", "interpret"):
+            from .ops.pallas.threshold import adaptive_threshold_pallas
+            trinary = adaptive_threshold_pallas(
+                gray, cfg.tile_size, cfg.min_white_black_diff,
+                interpret=cfg.backend == "interpret")
+        else:
+            trinary = adaptive_threshold(gray, cfg.tile_size,
+                                         cfg.min_white_black_diff)
         label = connected_components(trinary, cfg.ccl_rounds, cfg.ccl_jumps)
         sizes = component_sizes(label)
         clusters = extract_clusters(
@@ -86,7 +94,11 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
         want_dark = not family.reversed_border
         qvalid = quads.valid & (quads.dark_inside == want_dark)
 
-        dec = decode_quads(gray, quads.corners, family,
+        # Subpixel edge refinement (AprilTag 3's refine_edges): removes the
+        # +-0.5 px quantization of the raw pair-midpoint boundary points.
+        corners = refine_edges(gray, quads.corners, quads.dark_inside)
+
+        dec = decode_quads(gray, corners, family,
                            max_hamming=cfg.max_hamming,
                            decode_sharpening=cfg.decode_sharpening)
         cand = (qvalid & dec.valid

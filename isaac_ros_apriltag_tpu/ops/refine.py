@@ -1,0 +1,118 @@
+"""Subpixel edge refinement: gradient-weighted line snap for quad edges.
+
+Raw quads come from black/white pixel-pair midpoints, so every edge carries
+up to +-0.5 px of quantization (worst for axis-aligned tags, where all points
+on an edge share the same error). AprilTag 3 fixes this with refine_edges:
+sample the image gradient along each edge's normal and shift the edge to the
+gradient-weighted zero crossing. The reference invokes this inside its
+closed detector binaries (cuAprilTags / VPI — ref:
+isaac_ros_apriltag/src/apriltag_node.cpp:491-493, :290-293); this is the
+TPU-native dense reformulation: fixed sample/offset grids, bilinear gathers,
+everything batched over (quads x edges x samples x offsets) — no loops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.geometry import line_intersection
+
+_NSAMPLES = 16      # points sampled along each edge
+_RANGE = 2.0        # normal search range, px (AprilTag: quad_decimate + 1)
+_STEP = 0.25        # offset step, px
+_GRANGE = 1.0       # gradient baseline half-distance, px
+
+
+def _bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Bilinear sample img (H, W) f32 at (x, y) pixel-center coords, clamped."""
+    H, W = img.shape
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
+            + (v10 * (1 - fx) + v11 * fx) * fy)
+
+
+def refine_edges(gray: jax.Array, corners: jax.Array,
+                 dark_inside: jax.Array) -> jax.Array:
+    """Snap quad edges to the image's intensity gradient.
+
+    gray: (H, W) float32; corners: (C, 4, 2) cyclic; dark_inside: (C,) bool.
+    Returns refined corners (C, 4, 2). Degenerate refinements (no gradient
+    support, or a corner moving > 1.5 px) fall back to the input corner.
+    """
+    C = corners.shape[0]
+    p0 = corners                                   # (C, 4, 2) edge start
+    p1 = jnp.roll(corners, -1, axis=1)             # (C, 4, 2) edge end
+    centroid = jnp.mean(corners, axis=1, keepdims=True)  # (C, 1, 2)
+
+    e = p1 - p0
+    elen = jnp.linalg.norm(e, axis=-1, keepdims=True)
+    e = e / jnp.maximum(elen, 1e-6)
+    n = jnp.stack([e[..., 1], -e[..., 0]], -1)     # unit perpendicular
+    # Orient n inward (toward the quad centroid).
+    mid = 0.5 * (p0 + p1)
+    inward = jnp.sum(n * (centroid - mid), -1, keepdims=True) >= 0
+    n = jnp.where(inward, n, -n)
+
+    # Sample points along each edge (corners excluded).
+    alphas = (1.0 + jnp.arange(_NSAMPLES)) / (_NSAMPLES + 1)     # (S,)
+    pts = p0[:, :, None, :] + alphas[None, None, :, None] * (p1 - p0)[:, :, None, :]
+    # (C, 4, S, 2)
+
+    offs = jnp.arange(-_RANGE, _RANGE + _STEP / 2, _STEP)        # (O,)
+    nO = offs.shape[0]
+    base = pts[:, :, :, None, :] + offs[None, None, None, :, None] * n[:, :, None, None, :]
+    # (C, 4, S, O, 2)
+    inner = base + _GRANGE * n[:, :, None, None, :]
+    outer = base - _GRANGE * n[:, :, None, None, :]
+    g_in = _bilinear(gray, inner[..., 0], inner[..., 1])         # (C, 4, S, O)
+    g_out = _bilinear(gray, outer[..., 0], outer[..., 1])
+
+    # Expected polarity: inward darker for dark-interior quads.
+    diff = jnp.where(dark_inside[:, None, None, None], g_out - g_in,
+                     g_in - g_out)
+    w = jnp.where(diff > 0, diff * diff, 0.0)                    # (C, 4, S, O)
+    wsum = jnp.sum(w, -1)                                        # (C, 4, S)
+    n0 = jnp.sum(w * offs, -1) / jnp.maximum(wsum, 1e-9)         # (C, 4, S)
+    sample_ok = wsum > 1e-3
+
+    q = pts + n0[..., None] * n[:, :, None, :]                   # (C, 4, S, 2)
+
+    # Weighted line fit through the adjusted samples (per edge).
+    sw = jnp.where(sample_ok, wsum, 0.0)[..., None]              # (C, 4, S, 1)
+    tot = jnp.maximum(jnp.sum(sw, 2), 1e-9)                      # (C, 4, 1)
+    mean = jnp.sum(q * sw, 2) / tot                              # (C, 4, 2)
+    d = q - mean[:, :, None, :]
+    cxx = jnp.sum(sw[..., 0] * d[..., 0] * d[..., 0], -1)
+    cxy = jnp.sum(sw[..., 0] * d[..., 0] * d[..., 1], -1)
+    cyy = jnp.sum(sw[..., 0] * d[..., 1] * d[..., 1], -1)
+    disc = jnp.sqrt(jnp.maximum((cxx - cyy) ** 2 + 4 * cxy * cxy, 0.0))
+    lam = 0.5 * (cxx + cyy + disc)
+    v1 = jnp.stack([cxy, lam - cxx], -1)
+    v2 = jnp.stack([lam - cyy, cxy], -1)
+    pick = jnp.sum(v1 * v1, -1, keepdims=True) > jnp.sum(v2 * v2, -1, keepdims=True)
+    dirs = jnp.where(pick, v1, v2)
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-9)
+
+    # Edge usable only with gradient support on most samples.
+    edge_ok = jnp.sum(sample_ok, -1) >= _NSAMPLES // 2           # (C, 4)
+    # Degenerate direction (all samples coincident) -> keep original edge.
+    dir_ok = lam > 1e-9
+    mean = jnp.where((edge_ok & dir_ok)[..., None], mean, mid)
+    dirs = jnp.where((edge_ok & dir_ok)[..., None], dirs, e)
+
+    # Corner k = intersection of edge (k-1) and edge k.
+    new = line_intersection(jnp.roll(mean, 1, 1), jnp.roll(dirs, 1, 1),
+                            mean, dirs)                          # (C, 4, 2)
+    moved = jnp.linalg.norm(new - corners, axis=-1)
+    ok = jnp.isfinite(new).all(-1) & (moved < 1.5)
+    return jnp.where(ok[..., None], new, corners)
