@@ -122,7 +122,7 @@ def gauss_newton_step(p: BAProblem, damping: float = 1e-4,
     Hll_inv = jnp.linalg.inv(Hll)                        # (L, 6, 6)
     # S = Hcc - W Hll^-1 W^T  (dense 6K x 6K; Hcc is block diagonal)
     WHinv = jnp.einsum("klij,ljm->klim", Wkl, Hll_inv)   # (K, L, 6, 6)
-    S_off = jnp.einsum("klim,knjm->kinj", WHinv, Wkl)    # (K, 6, K, 6)
+    S_off = jnp.einsum("klim,nljm->kinj", WHinv, Wkl)    # (K, 6, K, 6)
     S = -S_off
     S = S.at[jnp.arange(Kn), :, jnp.arange(Kn), :].add(Hcc)
     b = gc - jnp.einsum("klim,lm->ki", WHinv, gl)        # (K, 6)

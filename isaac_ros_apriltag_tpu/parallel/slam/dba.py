@@ -36,7 +36,7 @@ def _local_step(p: BAProblem, damping, axis: str):
     nshards = jax.lax.psum(1, axis)
     Hll_inv = jnp.linalg.inv(Hll)
     WHinv = jnp.einsum("klij,ljm->klim", Wkl, Hll_inv)
-    S_local = jnp.einsum("klim,knjm->kinj", WHinv, Wkl)      # (K,6,K,6)
+    S_local = jnp.einsum("klim,nljm->kinj", WHinv, Wkl)      # (K,6,K,6)
     b_local = gc - jnp.einsum("klim,lm->ki", WHinv, gl)
 
     Hcc_sum = jax.lax.psum(Hcc, axis)

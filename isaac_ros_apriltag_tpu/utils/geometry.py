@@ -35,8 +35,11 @@ def quat_from_rotmat(R: jax.Array) -> jax.Array:
     best = jnp.argmax(pivots, axis=-1)
     q = jnp.take_along_axis(cands, best[..., None, None].repeat(4, -1), -2)[..., 0, :]
     q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
-    # Canonical sign: w >= 0.
-    return q * jnp.where(q[..., :1] < 0, -1.0, 1.0)
+    # Canonical sign: the largest-magnitude component is positive. (Canonical
+    # w >= 0 is unstable when w ~ 0 — e.g. the golden fixture's 180-degree
+    # flip q = (0, 0, 0, 1), ref: test/isaac_ros_apriltag_pol_test.py:164-175.)
+    lead = jnp.take_along_axis(q, jnp.argmax(jnp.abs(q), -1)[..., None], -1)
+    return q * jnp.where(lead < 0, -1.0, 1.0)
 
 
 def rotmat_from_quat(q: jax.Array) -> jax.Array:

@@ -13,6 +13,15 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
+
+# The environment may pre-import jax and force a hardware platform before
+# conftest runs (site customization); the env var above is then too late.
+# Updating the config post-import keeps the whole suite on the virtual
+# 8-device CPU mesh and guarantees the hardware backend is never initialized
+# from test processes (initializing it can block on an exclusive device grant
+# held by another process).
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

@@ -15,7 +15,9 @@ def _random_rotations(n, seed=0):
 
 def test_quat_rotmat_roundtrip():
     q = _random_rotations(64)
-    q *= np.where(q[:, :1] < 0, -1.0, 1.0)  # canonical sign
+    # canonical sign: largest-|component| positive (library convention)
+    lead = np.take_along_axis(q, np.argmax(np.abs(q), -1)[:, None], -1)
+    q *= np.where(lead < 0, -1.0, 1.0)
     R = G.rotmat_from_quat(jnp.asarray(q))
     q2 = G.quat_from_rotmat(R)
     np.testing.assert_allclose(np.asarray(q2), q, atol=1e-5)

