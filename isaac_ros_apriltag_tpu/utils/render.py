@@ -31,21 +31,18 @@ def render_tags(camera_K: np.ndarray, size: tuple[int, int],
 
     Each tag dict: {family: TagFamily, id: int, R: (3,3), t: (3,),
     tag_size: float}. Pixel (i, j) has center (x=j, y=i).
+
+    Each tag is rasterized only inside its projected bounding box (padded by
+    one pixel), in float32 — full-frame per-tag ray casting at supersample
+    resolution is minutes of host time at 1080p on a small VM.
     """
     H, W = size
     S = supersample
     K = np.asarray(camera_K, np.float64)
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
 
-    # Subpixel sample coordinates.
-    js = (np.arange(W * S) + 0.5) / S - 0.5
-    is_ = (np.arange(H * S) + 0.5) / S - 0.5
-    xg, yg = np.meshgrid(js, is_)
-    dirx = (xg - cx) / fx
-    diry = (yg - cy) / fy
-
-    img = np.full((H * S, W * S), background, np.float64)
-    depth = np.full((H * S, W * S), np.inf)
+    img = np.full((H * S, W * S), np.float32(background), np.float32)
+    depth = np.full((H * S, W * S), np.inf, np.float32)
 
     for tag in tags:
         fam: TagFamily = tag["family"]
@@ -55,31 +52,57 @@ def render_tags(camera_K: np.ndarray, size: tuple[int, int],
         cell = tag["tag_size"] / wb
         R = np.asarray(tag["R"], np.float64)
         t = np.asarray(tag["t"], np.float64)
+        Rt = R.T
+
+        # Projected bbox of the printed square (outer edge of the white
+        # margin), padded one pixel; fall back to the full frame if any
+        # corner is at/behind the camera.
+        half = cell * tw / 2.0
+        obj = np.array([[-half, -half, 0], [half, -half, 0],
+                        [half, half, 0], [-half, half, 0]], np.float64)
+        cc = obj @ R.T + t
+        if np.all(cc[:, 2] > 1e-6):
+            u_px = fx * cc[:, 0] / cc[:, 2] + cx
+            v_px = fy * cc[:, 1] / cc[:, 2] + cy
+            j0 = max(int(np.floor(u_px.min())) - 1, 0)
+            j1 = min(int(np.ceil(u_px.max())) + 2, W)
+            i0 = max(int(np.floor(v_px.min())) - 1, 0)
+            i1 = min(int(np.ceil(v_px.max())) + 2, H)
+        else:
+            j0, j1, i0, i1 = 0, W, 0, H
+        if j1 <= j0 or i1 <= i0:
+            continue
+
+        js = ((np.arange(j0 * S, j1 * S, dtype=np.float32) + 0.5) / S - 0.5)
+        is_ = ((np.arange(i0 * S, i1 * S, dtype=np.float32) + 0.5) / S - 0.5)
+        dirx = ((js - cx) / fx).astype(np.float32)[None, :]
+        diry = ((is_ - cy) / fy).astype(np.float32)[:, None]
 
         # Ray-plane intersection in tag frame: p_tag = R^T (lam*d - t), z=0.
-        d = np.stack([dirx, diry, np.ones_like(dirx)], -1)     # (h, w, 3)
-        Rt = R.T
-        dz = d @ Rt[2]                                          # (h, w)
-        tz = Rt[2] @ t
+        r = Rt.astype(np.float32)
+        dz = r[2, 0] * dirx + r[2, 1] * diry + r[2, 2]
+        tz = np.float32(Rt[2] @ t)
         with np.errstate(divide="ignore", invalid="ignore"):
             lam = tz / dz
-        px = lam * (d @ Rt[0]) - Rt[0] @ t
-        py = lam * (d @ Rt[1]) - Rt[1] @ t
+        px = lam * (r[0, 0] * dirx + r[0, 1] * diry + r[0, 2]) - np.float32(Rt[0] @ t)
+        py = lam * (r[1, 0] * dirx + r[1, 1] * diry + r[1, 2]) - np.float32(Rt[1] @ t)
 
         # Tag frame -> bitmap cell coords (x left, y up in bitmap).
         u = wb / 2.0 - px / cell + off
         v = wb / 2.0 - py / cell + off
-        ui = np.floor(u).astype(np.int64)
-        vi = np.floor(v).astype(np.int64)
+        ui = np.floor(u).astype(np.int32)
+        vi = np.floor(v).astype(np.int32)
         inside = (lam > 0) & (ui >= 0) & (ui < tw) & (vi >= 0) & (vi < tw)
         vals = np.where(grid[np.clip(vi, 0, tw - 1), np.clip(ui, 0, tw - 1)] > 0,
-                        white, black)
-        closer = inside & (lam < depth)
-        img = np.where(closer, vals, img)
-        depth = np.where(closer, lam, depth)
+                        np.float32(white), np.float32(black))
+        win_img = img[i0 * S:i1 * S, j0 * S:j1 * S]
+        win_depth = depth[i0 * S:i1 * S, j0 * S:j1 * S]
+        closer = inside & (lam < win_depth)
+        img[i0 * S:i1 * S, j0 * S:j1 * S] = np.where(closer, vals, win_img)
+        depth[i0 * S:i1 * S, j0 * S:j1 * S] = np.where(closer, lam, win_depth)
 
     # Box-filter downsample.
-    img = img.reshape(H, S, W, S).mean(axis=(1, 3))
+    img = img.reshape(H, S, W, S).mean(axis=(1, 3), dtype=np.float32)
     if noise > 0:
         rng = np.random.default_rng(seed)
         img = img + rng.normal(0.0, noise, img.shape)
