@@ -38,6 +38,15 @@ class DetectorConfig:
     tile_size: int = 4              # adaptive-threshold tile edge, pixels
     backend: str = "pallas"
 
+    # Segmentation decimation (AprilTag 3's quad_decimate; the closed
+    # reference backends decimate likewise). Segmentation/quad-fitting run on
+    # a (H/d, W/d) mean-pooled image; corner refinement and decoding run on
+    # the full-resolution image, so corner accuracy is preserved. On TPU this
+    # is also the key memory-locality lever: at d=2 every label/size table
+    # fits in VMEM, where scatter/gather run ~2 orders of magnitude faster
+    # than HBM-resident tables (measured: tools/profile_microops.py).
+    quad_decimate: int = 2
+
     # TPU pipeline capacities (all static; data-dependent counts are handled
     # with validity masks, same tradeoff as the reference's max_tags arrays,
     # ref: apriltag_node.cpp:285-289).
@@ -70,6 +79,8 @@ class DetectorConfig:
             raise ValueError("max_tags must be in (0, max_clusters]")
         if self.tile_size < 2:
             raise ValueError("tile_size must be >= 2")
+        if self.quad_decimate < 1:
+            raise ValueError("quad_decimate must be >= 1")
         fam_h = FAMILY_SPECS[self.tag_family][1]
         if self.max_hamming > (fam_h - 1) // 2:
             raise ValueError(

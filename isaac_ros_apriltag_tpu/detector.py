@@ -41,6 +41,25 @@ def _pad_to_tiles(gray: jax.Array, ts: int) -> jax.Array:
     return gray
 
 
+def _decimate(gray: jax.Array, d: int) -> jax.Array:
+    """d x d mean-pool (AprilTag 3's quad_decimate). Pixel (i, j) of the
+    pooled image has center (d*j + (d-1)/2, d*i + (d-1)/2) in full-res
+    coordinates (see _upscale_coords)."""
+    if d == 1:
+        return gray
+    H, W = gray.shape
+    gray = _pad_to_tiles(gray, d)
+    Hp, Wp = gray.shape
+    return gray.reshape(Hp // d, d, Wp // d, d).mean(axis=(1, 3))
+
+
+def _upscale_coords(xy: jax.Array, d: int) -> jax.Array:
+    """Decimated-image pixel coords -> full-resolution pixel coords."""
+    if d == 1:
+        return xy
+    return xy * d + (d - 1) / 2.0
+
+
 def _dedupe(valid, ids, margin, corners):
     """Suppress duplicate detections of the same id with overlapping extent.
 
@@ -70,18 +89,34 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
 
     def detect(image: jax.Array) -> tuple[Detections, FrameStats]:
         gray = grayscale(image, encoding)
-        gray = _pad_to_tiles(gray, cfg.tile_size)
+        # Segmentation runs on the quad_decimate-pooled image; refinement and
+        # decode sample the full-resolution image (AprilTag 3's same split).
+        seg = _decimate(gray, cfg.quad_decimate)
+        seg = _pad_to_tiles(seg, cfg.tile_size)
 
         if cfg.backend in ("pallas", "interpret"):
             from .ops.pallas.threshold import adaptive_threshold_pallas
             trinary = adaptive_threshold_pallas(
-                gray, cfg.tile_size, cfg.min_white_black_diff,
+                seg, cfg.tile_size, cfg.min_white_black_diff,
                 interpret=cfg.backend == "interpret")
         else:
-            trinary = adaptive_threshold(gray, cfg.tile_size,
+            trinary = adaptive_threshold(seg, cfg.tile_size,
                                          cfg.min_white_black_diff)
-        label = connected_components(trinary, cfg.ccl_rounds, cfg.ccl_jumps)
+        # Stage boundaries are materialization points: the downstream stages
+        # contain iterative scans, and XLA's recomputation fusion would
+        # otherwise re-derive upstream full-image intermediates inside every
+        # scan step (measured 120x end-to-end slowdown at 1080p).
+        gray, trinary = jax.lax.optimization_barrier((gray, trinary))
+        if cfg.backend in ("pallas", "interpret"):
+            from .ops.pallas.ccl import connected_components_pallas
+            label = connected_components_pallas(
+                trinary, cfg.ccl_rounds, cfg.ccl_jumps,
+                interpret=cfg.backend == "interpret")
+        else:
+            label = connected_components(trinary, cfg.ccl_rounds, cfg.ccl_jumps)
+        label = jax.lax.optimization_barrier(label)
         sizes = component_sizes(label)
+        sizes = jax.lax.optimization_barrier(sizes)
         clusters = extract_clusters(
             trinary, label, sizes,
             max_edge_points=cfg.max_edge_points,
@@ -89,14 +124,20 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
             max_cluster_points=cfg.max_cluster_points,
             min_component_pixels=cfg.min_component_pixels,
             min_cluster_pixels=cfg.min_cluster_pixels)
-        quads = fit_quads(clusters)
+        clusters = jax.lax.optimization_barrier(clusters)
+        quads = fit_quads(clusters,
+                          min_area=64.0 / (cfg.quad_decimate ** 2))
         # Border polarity gate: normal families have a dark interior.
         want_dark = not family.reversed_border
         qvalid = quads.valid & (quads.dark_inside == want_dark)
 
         # Subpixel edge refinement (AprilTag 3's refine_edges): removes the
-        # +-0.5 px quantization of the raw pair-midpoint boundary points.
-        corners = refine_edges(gray, quads.corners, quads.dark_inside)
+        # +-0.5 px quantization of the raw pair-midpoint boundary points and
+        # the quad_decimate quantization (corners move back to full-res).
+        corners = refine_edges(gray,
+                               _upscale_coords(quads.corners, cfg.quad_decimate),
+                               quads.dark_inside,
+                               search_range=cfg.quad_decimate + 1.0)
 
         dec = decode_quads(gray, corners, family,
                            max_hamming=cfg.max_hamming,
@@ -140,6 +181,9 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
             num_clusters=clusters.num_clusters,
             num_quads=jnp.sum(qvalid.astype(jnp.int32)),
             num_detections=jnp.sum(sel_valid.astype(jnp.int32)),
+            edge_stride=clusters.edge_stride,
+            overflow=clusters.overflow
+            | (clusters.num_clusters > cfg.max_clusters),
         )
         return det, stats
 

@@ -95,6 +95,14 @@ def connected_components(trinary: jax.Array, rounds: int = 6, jumps: int = 2
         diag_conn.append((nv == trinary) & valid & (trinary == 255))
     diag_conn = jnp.stack(diag_conn)
 
+    # Materialize the loop-invariant masks ONCE. Without this barrier XLA
+    # recomputation-fuses the whole threshold+boundary chain into every step
+    # of every associative scan below (measured: 0.16 ms -> 230 ms per frame
+    # and a 250 s compile when composed with the threshold stage).
+    row_b, row_b_rev, col_b, col_b_rev, diag_conn = (
+        jax.lax.optimization_barrier(
+            (row_b, row_b_rev, col_b, col_b_rev, diag_conn)))
+
     def body(_, label):
         label = _seg_min_scan(label, row_b, 1, False)
         label = _seg_min_scan(label, row_b_rev, 1, True)

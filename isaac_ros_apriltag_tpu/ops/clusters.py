@@ -39,6 +39,8 @@ class Clusters(NamedTuple):
     count: jax.Array     # (C,) int32 — points per cluster (capped at P)
     num_clusters: jax.Array  # () int32 — segments before the top-C cap
     num_edge_points: jax.Array  # () int32 — boundary points before capacity cap
+    edge_stride: jax.Array   # () int32 — global decimation applied on overflow
+    overflow: jax.Array      # () bool — num_edge_points exceeded capacity
 
 
 def _shift(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
@@ -91,11 +93,27 @@ def extract_clusters(trinary: jax.Array, label: jax.Array, sizes: jax.Array,
     pxy = jnp.stack(pxy_all).reshape(-1)
     g = jnp.stack(g_all).reshape(-1)
     mask = jnp.stack(m_all).reshape(-1)
+    # Materialize the 4*H*W pair arrays before the cumsum: the mask chain
+    # includes size-table gathers, and XLA would otherwise recompute it in
+    # every log-step of the prefix sum (compile/runtime blowup).
+    kb, kw, pxy, g, mask = jax.lax.optimization_barrier((kb, kw, pxy, g, mask))
 
     # --- compaction into E-capacity buffers -------------------------------
+    # On overflow (num_edge > E — e.g. sensor noise passing the contrast
+    # gate at 1080p produces millions of boundary pairs) the points are
+    # stride-decimated GLOBALLY rather than truncated in scan order:
+    # scan-order truncation keeps only the top of the image and evicts every
+    # tag below it (the round-1 0-detections failure). A uniform stride keeps
+    # ~1/k of every boundary in the frame, so each tag survives with a
+    # decimated (still fittable) boundary. Noise interleaving randomizes the
+    # rank spacing, so the stride acts as a spatial subsample. The stride is
+    # reported so segment-size gates can rescale to true-pixel units.
     pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
     num_edge = pos[-1] + 1
-    dest = jnp.where(mask & (pos < E), pos, E)
+    stride = jnp.maximum((num_edge + E - 1) // E, 1)
+    keep = mask & (pos % stride == 0)
+    pos = pos // stride
+    dest = jnp.where(keep & (pos < E), pos, E)
     buf_kb = jnp.full((E + 1,), _I32MAX, jnp.int32).at[dest].set(kb)[:E]
     buf_kw = jnp.full((E + 1,), _I32MAX, jnp.int32).at[dest].set(kw)[:E]
     buf_pxy = jnp.zeros((E + 1,), jnp.int32).at[dest].set(pxy)[:E]
@@ -128,9 +146,11 @@ def extract_clusters(trinary: jax.Array, label: jax.Array, sizes: jax.Array,
 
     # --- pick top-C segments by size --------------------------------------
     # Gate: big enough, and not absurdly large (a quad's perimeter is at most
-    # 2*(2W + 2H) points, AprilTag 3's same sanity bound).
+    # 2*(2W + 2H) points, AprilTag 3's same sanity bound). Sizes are in
+    # decimated units, so rescale by the global stride to true-pixel units.
     max_perimeter = 2 * (2 * W + 2 * H)
-    eligible = (seg_size >= min_cluster_pixels) & (seg_size <= max_perimeter)
+    true_size = seg_size * stride
+    eligible = (true_size >= min_cluster_pixels) & (true_size <= max_perimeter)
     gated = jnp.where(eligible, seg_size, 0)
     top_sizes, top_segs = jax.lax.top_k(gated, C)
     slot_valid = top_sizes > 0
@@ -143,9 +163,10 @@ def extract_clusters(trinary: jax.Array, label: jax.Array, sizes: jax.Array,
     seg_c = jnp.clip(seg_id, 0, E)
     slot = slot_of_seg[seg_c]
     rank = iota - seg_start[seg_c]
-    stride = jnp.maximum((seg_size[seg_c] + P - 1) // P, 1)
-    ok = entry_valid & (slot >= 0) & (rank % stride == 0) & (rank // stride < P)
-    dest2 = jnp.where(ok, slot * P + rank // stride, C * P)
+    seg_stride = jnp.maximum((seg_size[seg_c] + P - 1) // P, 1)
+    ok = (entry_valid & (slot >= 0) & (rank % seg_stride == 0)
+          & (rank // seg_stride < P))
+    dest2 = jnp.where(ok, slot * P + rank // seg_stride, C * P)
     flat_pxy = jnp.zeros((C * P + 1,), jnp.int32).at[dest2].set(spxy)[:C * P]
     flat_g = jnp.zeros((C * P + 1,), jnp.int32).at[dest2].set(sg)[:C * P]
     flat_ok = jnp.zeros((C * P + 1,), bool).at[dest2].set(ok)[:C * P]
@@ -160,4 +181,5 @@ def extract_clusters(trinary: jax.Array, label: jax.Array, sizes: jax.Array,
     count = jnp.where(slot_valid, (top_sizes + top_stride - 1) // top_stride, 0)
 
     return Clusters(xy=xy, grad=grad, mask=flat_ok.reshape(C, P),
-                    count=count, num_clusters=nseg, num_edge_points=num_edge)
+                    count=count, num_clusters=nseg, num_edge_points=num_edge,
+                    edge_stride=stride, overflow=num_edge > E)

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from ..utils.geometry import line_intersection
 
 _NSAMPLES = 16      # points sampled along each edge
-_RANGE = 2.0        # normal search range, px (AprilTag: quad_decimate + 1)
 _STEP = 0.25        # offset step, px
 _GRANGE = 1.0       # gradient baseline half-distance, px
 
@@ -42,12 +41,16 @@ def _bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
 
 
 def refine_edges(gray: jax.Array, corners: jax.Array,
-                 dark_inside: jax.Array) -> jax.Array:
+                 dark_inside: jax.Array, *,
+                 search_range: float = 2.0) -> jax.Array:
     """Snap quad edges to the image's intensity gradient.
 
     gray: (H, W) float32; corners: (C, 4, 2) cyclic; dark_inside: (C,) bool.
+    search_range: half-width of the normal search window, px — AprilTag 3
+    uses quad_decimate + 1 so decimation quantization stays in capture range.
     Returns refined corners (C, 4, 2). Degenerate refinements (no gradient
-    support, or a corner moving > 1.5 px) fall back to the input corner.
+    support, or a corner moving further than the search range) fall back to
+    the input corner.
     """
     C = corners.shape[0]
     p0 = corners                                   # (C, 4, 2) edge start
@@ -68,7 +71,7 @@ def refine_edges(gray: jax.Array, corners: jax.Array,
     pts = p0[:, :, None, :] + alphas[None, None, :, None] * (p1 - p0)[:, :, None, :]
     # (C, 4, S, 2)
 
-    offs = jnp.arange(-_RANGE, _RANGE + _STEP / 2, _STEP)        # (O,)
+    offs = jnp.arange(-search_range, search_range + _STEP / 2, _STEP)  # (O,)
     nO = offs.shape[0]
     base = pts[:, :, :, None, :] + offs[None, None, None, :, None] * n[:, :, None, None, :]
     # (C, 4, S, O, 2)
@@ -114,5 +117,5 @@ def refine_edges(gray: jax.Array, corners: jax.Array,
     new = line_intersection(jnp.roll(mean, 1, 1), jnp.roll(dirs, 1, 1),
                             mean, dirs)                          # (C, 4, 2)
     moved = jnp.linalg.norm(new - corners, axis=-1)
-    ok = jnp.isfinite(new).all(-1) & (moved < 1.5)
+    ok = jnp.isfinite(new).all(-1) & (moved < search_range + 0.5)
     return jnp.where(ok[..., None], new, corners)

@@ -86,3 +86,8 @@ class FrameStats:
     num_clusters: jax.Array      # int32 — candidate clusters before cap
     num_quads: jax.Array         # int32 — quads that passed geometric filters
     num_detections: jax.Array    # int32 — final decoded detections
+    edge_stride: jax.Array       # int32 — boundary decimation applied (1 = none)
+    overflow: jax.Array          # bool — a capacity was exceeded; results are
+    #                              decimated/truncated (moral equivalent of the
+    #                              reference's detector-error log,
+    #                              ref: apriltag_node.cpp:494-497)
