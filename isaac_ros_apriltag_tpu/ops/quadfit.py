@@ -1,26 +1,34 @@
 """Quad fitting: boundary clusters -> candidate quads (4 subpixel corners).
 
-Dense re-formulation of AprilTag 3's fit_quad for the TPU: every step is a
-fixed-shape vectorized op, batched over clusters with vmap.
+TPU-native reformulation of AprilTag 3's fit_quad. The original algorithm
+sorts each cluster's points by angle and slides point-indexed windows around
+the boundary; that formulation needs an argsort plus ~17 dynamically-indexed
+gathers per cluster and measured ~80 ms/frame on TPU. Here the angular
+dimension is QUANTIZED into K=64 fixed bins instead:
 
-  1. sort points by angle around the centroid (batched argsort);
-  2. circular prefix sums of the moments (x, y, xx, xy, yy) give O(1)
-     line fits over any arc;
-  3. per-point line-fit error over a sliding window; smooth; local maxima
-     are corner candidates;
-  4. exhaustive search over 4-subsets of the top-M candidates (cyclic order),
-     scoring each by total line-fit error of the 4 induced arcs — all
-     C(M, 4) combos evaluated densely in parallel;
-  5. winning arcs re-fit -> 4 lines -> corner positions from intersections;
-  6. geometric gates: arc MSE, corner angles, area, winding normalization.
+  1. per-point angle about the centroid -> bin id (elementwise);
+  2. per-bin moment sums (w, x, y, xx, xy, yy) via one scatter-add into a
+     (C, K) table — the only irregular op, and it is VMEM-sized;
+  3. circular prefix sums over bins give O(1) weighted line fits over any
+     angular arc (all arc indices are static-modulo-K — no dynamic shapes);
+  4. per-bin line-fit error over a +-2-bin window; circular local maxima are
+     corner candidates (bin resolution 360/64 = 5.6 deg, comparable to the
+     original's ~20-point windows on a ~1000-point boundary);
+  5. exhaustive search over 4-subsets of the top-M candidate bins (cyclic
+     order), scoring by total arc line-fit error — all C(M,4) combos dense;
+  6. winning arcs re-fit -> 4 lines -> corners from intersections;
+  7. geometric gates: arc MSE, corner angles, area, winding normalization.
 
-The winding/gradient polarity of the quad (dark interior vs light interior)
-is returned so the detector can gate on the family's reversed_border flag.
+Corner positions come from moment-based line fits over arcs (exact per-point
+sums), so bin quantization only perturbs which points join each fit; the
+subpixel result is equivalent in practice and refine_edges re-snaps edges on
+the full-resolution image afterwards. The reference runs its equivalent
+inside closed CUDA binaries (ref: isaac_ros_apriltag/src/apriltag_node.cpp:
+491-493, :290-293).
 """
 
 from __future__ import annotations
 
-import functools
 import itertools
 from typing import NamedTuple
 
@@ -30,6 +38,7 @@ import numpy as np
 
 from .clusters import Clusters
 
+_NBINS = 64
 _MAXIMA = 10
 # All 4-subsets of the top-M maxima in cyclic (ascending angular) order.
 _COMBOS = np.array(list(itertools.combinations(range(_MAXIMA), 4)), np.int32)
@@ -43,21 +52,34 @@ class Quads(NamedTuple):
     gates: jax.Array      # (C, 6) bool — [combo, mse, area, angle, finite, n>=8]
 
 
-def _window_sum(S: jax.Array, a: jax.Array, b: jax.Array, n: jax.Array) -> jax.Array:
-    """Sum of f over circular index range [a, b] inclusive, given prefix sums
-    S (P+1,) of f over the sorted (valid-first) points. Requires 0 <= a < n,
-    a <= b < a + n; b may exceed n (wraps)."""
-    wrap = b >= n
-    direct = S[jnp.clip(b + 1, 0, S.shape[0] - 1)] - S[a]
-    wrapped = S[n] - S[a] + S[jnp.clip(b - n + 1, 0, S.shape[0] - 1)]
+def _arc_sum(S: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Sum of per-bin values over the circular bin range [a, b] inclusive.
+
+    S: (C, K+1) prefix sums; a, b int arrays (C, ...) with 0 <= a <= K,
+    a-1 <= b < a + K (b < a yields an empty arc = 0); b may exceed K (wraps).
+    """
+    C, K1 = S.shape
+    K = K1 - 1
+
+    def pick(idx):
+        idx = jnp.broadcast_to(idx, (C,) + idx.shape[1:])
+        flat = idx.reshape(C, -1)
+        out = jnp.take_along_axis(S, flat, axis=-1)
+        return out.reshape(idx.shape)
+
+    wrap = b >= K
+    Sa = pick(jnp.clip(a, 0, K))
+    direct = pick(jnp.clip(b + 1, 0, K)) - Sa
+    total = S[:, K].reshape((C,) + (1,) * (a.ndim - 1))
+    wrapped = total - Sa + pick(jnp.clip(b - K + 1, 0, K))
     return jnp.where(wrap, wrapped, direct)
 
 
 def _line_fit(msums: tuple, W: jax.Array):
-    """Given window moment sums (Sx, Sy, Sxx, Sxy, Syy) and count W, return
+    """Given arc moment sums (Sx, Sy, Sxx, Sxy, Syy) and weight W, return
     (ex, ey, cxx, cxy, cyy, err) where err = smaller covariance eigenvalue."""
     Sx, Sy, Sxx, Sxy, Syy = msums
-    Wf = jnp.maximum(W.astype(jnp.float32), 1.0)
+    Wf = jnp.maximum(W, 1e-6)
     ex, ey = Sx / Wf, Sy / Wf
     cxx = Sxx / Wf - ex * ex
     cxy = Sxy / Wf - ex * ey
@@ -71,7 +93,6 @@ def _line_dir(cxx, cxy, cyy):
     """Principal direction (largest-eigenvalue eigenvector) of the 2x2 cov."""
     disc = jnp.sqrt(jnp.maximum((cxx - cyy) ** 2 + 4 * cxy * cxy, 0.0))
     lam = 0.5 * (cxx + cyy + disc)
-    # Two candidate eigenvectors; pick the numerically larger one.
     v1 = jnp.stack([cxy, lam - cxx], -1)
     v2 = jnp.stack([lam - cyy, cxy], -1)
     n1 = jnp.sum(v1 * v1, -1, keepdims=True)
@@ -80,138 +101,123 @@ def _line_dir(cxx, cxy, cyy):
     return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, -1, keepdims=True), 1e-12))
 
 
-def _fit_one(xy, grad, mask, n, *, max_line_fit_mse, critical_cos, min_area):
-    """Fit a quad to one cluster. xy: (P, 2); grad: (P, 2); mask: (P,); n: ()."""
-    P = xy.shape[0]
-    nf = jnp.maximum(n, 1)
-    fmask = mask.astype(jnp.float32)
+def fit_quads(clusters: Clusters, *, max_line_fit_mse: float = 10.0,
+              critical_cos: float = 0.985, min_area: float = 64.0) -> Quads:
+    xy, grad, mask, n = clusters.xy, clusters.grad, clusters.mask, clusters.count
+    C, P, _ = xy.shape
+    K = _NBINS
+    w = mask.astype(jnp.float32)                       # (C, P)
+    wsum = jnp.maximum(jnp.sum(w, -1, keepdims=True), 1.0)
 
-    # --- centroid + angular sort (invalid points to the end) -------------
-    cx = jnp.sum(xy[:, 0] * fmask) / jnp.maximum(jnp.sum(fmask), 1.0)
-    cy = jnp.sum(xy[:, 1] * fmask) / jnp.maximum(jnp.sum(fmask), 1.0)
-    theta = jnp.arctan2(xy[:, 1] - cy, xy[:, 0] - cx)
-    theta = jnp.where(mask, theta, jnp.inf)
-    order = jnp.argsort(theta)
-    # Center AND scale-normalize coordinates: prefix-sum moments of raw pixel
-    # coords (x ~ 1e3, x^2 ~ 1e6, prefix ~ 1e9) are destroyed by f32
-    # cancellation when the variance (~0.1 px^2) is recovered. In normalized
-    # units all moments are O(1) and f32 is ample.
-    r2 = (xy[:, 0] - cx) ** 2 + (xy[:, 1] - cy) ** 2
-    scale = jnp.sqrt(jnp.sum(r2 * fmask) / jnp.maximum(jnp.sum(fmask), 1.0))
+    # --- centroid, normalized coords, angular bin ---------------------------
+    cx = jnp.sum(xy[..., 0] * w, -1, keepdims=True) / wsum
+    cy = jnp.sum(xy[..., 1] * w, -1, keepdims=True) / wsum
+    dx = xy[..., 0] - cx
+    dy = xy[..., 1] - cy
+    # Scale-normalize: raw-pixel prefix moments lose the ~0.1 px^2 variance
+    # to f32 cancellation; in normalized units all moments are O(1).
+    r2 = dx * dx + dy * dy
+    scale = jnp.sqrt(jnp.sum(r2 * w, -1, keepdims=True) / wsum)
     scale = jnp.maximum(scale, 1e-6)
-    sx = (xy[order, 0] - cx) / scale
-    sy = (xy[order, 1] - cy) / scale
-    sg = grad[order]
-    svalid = mask[order]
-    fvalid = svalid.astype(jnp.float32)
+    sx = dx / scale
+    sy = dy / scale
+    theta = jnp.arctan2(dy, dx)                        # (C, P)
+    bins = jnp.clip(((theta + np.pi) * (K / (2 * np.pi))).astype(jnp.int32),
+                    0, K - 1)
 
-    # --- winding / polarity ----------------------------------------------
+    # --- winding / polarity --------------------------------------------------
     # Outward gradient (black->white): positive mean radial dot => dark inside.
-    rad = jnp.stack([sx, sy], -1)   # already centered
-    mean_dot = jnp.sum(jnp.sum(rad * sg, -1) * fvalid) / jnp.maximum(jnp.sum(fvalid), 1.0)
+    mean_dot = jnp.sum((sx * grad[..., 0] + sy * grad[..., 1]) * w, -1) / wsum[..., 0]
     dark_inside = mean_dot > 0
 
-    # --- circular prefix moments -----------------------------------------
-    fields = (sx * fvalid, sy * fvalid, sx * sx * fvalid,
-              sx * sy * fvalid, sy * sy * fvalid)
-    S = tuple(jnp.concatenate([jnp.zeros(1), jnp.cumsum(f)]) for f in fields)
-    Sw = jnp.concatenate([jnp.zeros(1), jnp.cumsum(fvalid)])
+    # --- per-bin moments via one scatter-add --------------------------------
+    flat = (jnp.arange(C, dtype=jnp.int32)[:, None] * K + bins).reshape(-1)
+    flat = jnp.where(mask.reshape(-1), flat, C * K)    # invalid -> sentinel
+    fields = (w, sx * w, sy * w, sx * sx * w, sx * sy * w, sy * sy * w)
+    B = [jnp.zeros((C * K + 1,), jnp.float32).at[flat].add(f.reshape(-1))[:-1]
+         .reshape(C, K) for f in fields]
+    # circular prefix sums: (C, K+1)
+    S = [jnp.concatenate([jnp.zeros((C, 1), jnp.float32),
+                          jnp.cumsum(b, -1)], -1) for b in B]
+    Sw, Sx, Sy, Sxx, Sxy, Syy = S
 
-    # --- sliding-window line-fit errors ----------------------------------
-    ksz = jnp.minimum(20, nf // 12)
-    ksz = jnp.maximum(ksz, 2)
-    i = jnp.arange(P, dtype=jnp.int32)
-    a = jnp.mod(i - ksz, nf)
-    b = a + 2 * ksz  # inclusive, spans the window
-    msums = tuple(_window_sum(s, a, b, nf) for s in S)
-    Wn = _window_sum(Sw, a, b, nf)
-    _, _, _, _, _, errs = _line_fit(msums, Wn)
-    errs = jnp.where(i < nf, errs, 0.0)
+    # --- per-bin corner error: line fit over a +-2-bin window ---------------
+    kb = jnp.arange(K, dtype=jnp.int32)[None, :]       # (1, K)
+    m = 2
+    a = (kb - m) % K
+    b = a + 2 * m
+    msums = tuple(_arc_sum(s, a, b) for s in (Sx, Sy, Sxx, Sxy, Syy))
+    Wn = _arc_sum(Sw, a, b)
+    *_, errs = _line_fit(msums, Wn)                    # (C, K)
+    errs = jnp.where(Wn >= 4.0, errs, -jnp.inf)
 
-    # --- circular smoothing (7-tap gaussian, sigma=1) --------------------
-    taps = np.exp(-0.5 * (np.arange(-3, 4) ** 2)).astype(np.float32)
-    taps /= taps.sum()
-    sm = jnp.zeros_like(errs)
-    for k, w in enumerate(taps):
-        j = jnp.mod(i + (k - 3), nf)
-        sm = sm + w * errs[j]
-    errs = jnp.where(i < nf, sm, -1.0)
-
-    # --- local maxima -> top-M corner candidates -------------------------
-    prev = errs[jnp.mod(i - 1, nf)]
-    nxt = errs[jnp.mod(i + 1, nf)]
-    is_max = (errs > prev) & (errs >= nxt) & (i < nf)
+    # --- circular local maxima -> top-M candidate bins ----------------------
+    prev = jnp.roll(errs, 1, -1)
+    nxt = jnp.roll(errs, -1, -1)
+    is_max = (errs > prev) & (errs >= nxt) & jnp.isfinite(errs)
     max_errs = jnp.where(is_max, errs, -jnp.inf)
-    top_vals, top_idx = jax.lax.top_k(max_errs, _MAXIMA)
+    top_vals, top_idx = jax.lax.top_k(max_errs, _MAXIMA)   # (C, M)
     cand_valid = jnp.isfinite(top_vals)
-    # cyclic order: sort candidate indices ascending (invalid -> +inf)
-    cand_sorted = jnp.sort(jnp.where(cand_valid, top_idx, jnp.int32(P + 1)))
+    cand_sorted = jnp.sort(jnp.where(cand_valid, top_idx, jnp.int32(2 * K)), -1)
 
-    # --- score all 4-subsets ---------------------------------------------
-    combos = jnp.asarray(_COMBOS)                   # (Ncomb, 4)
-    cidx = cand_sorted[combos]                      # (Ncomb, 4)
-    combo_ok = jnp.all(cidx <= P, -1) & (cidx[:, 3] < nf)
-
+    # --- score all 4-subsets -------------------------------------------------
+    combos = jnp.asarray(_COMBOS)                      # (Ncomb, 4)
+    cidx = cand_sorted[:, combos]                      # (C, Ncomb, 4) ascending
+    combo_ok = jnp.all(cidx < K, -1)                   # all four candidates real
+    # Arcs between consecutive corners in UNWRAPPED bin space: for the three
+    # interior pairs the next corner is simply the next column; the last arc
+    # wraps to the first corner + K. Corner bins themselves are excluded.
     c0 = cidx
-    c1 = jnp.roll(cidx, -1, axis=-1)                # next corner (cyclic)
-    arc_a = jnp.mod(c0 + 1, nf)                     # exclude corner points
-    arc_b = jnp.where(c1 > c0, c1 - 1, c1 - 1 + nf)
-    arc_len = arc_b - arc_a + 1
-    arc_ok = arc_len >= 3
-    arc_a2 = jnp.clip(arc_a, 0, nf - 1)
-    arc_b2 = jnp.maximum(arc_b, arc_a2)
-    msums = tuple(_window_sum(s, arc_a2, arc_b2, nf) for s in S)
-    Wn = _window_sum(Sw, arc_a2, arc_b2, nf)
-    ex, ey, cxx, cxy, cyy, aerr = _line_fit(msums, Wn)   # each (Ncomb, 4)
-    combo_err = jnp.sum(aerr, -1)
-    combo_ok = combo_ok & jnp.all(arc_ok, -1)
-    combo_err = jnp.where(combo_ok, combo_err, jnp.inf)
-    best = jnp.argmin(combo_err)
-    best_err = combo_err[best]
+    c1 = jnp.roll(cidx, -1, axis=-1)
+    c1 = c1 + jnp.where(jnp.arange(4) == 3, K, 0)      # wrap the last pair
+    arc_a = c0 + 1                                     # in [1, K]
+    arc_b = c1 - 1                                     # empty arc -> a-1
+    nbins_arc = arc_b - arc_a + 1
+    msums = tuple(_arc_sum(s, arc_a, arc_b) for s in (Sx, Sy, Sxx, Sxy, Syy))
+    Wn = _arc_sum(Sw, arc_a, arc_b)
+    ex, ey, cxx, cxy, cyy, aerr = _line_fit(msums, Wn)  # each (C, Ncomb, 4)
+    arc_ok = (nbins_arc >= 1) & (Wn >= 3.0)
+    combo_err = jnp.where(combo_ok & jnp.all(arc_ok, -1),
+                          jnp.sum(aerr, -1), jnp.inf)   # (C, Ncomb)
+    best = jnp.argmin(combo_err, -1)                    # (C,)
+    best_err = jnp.take_along_axis(combo_err, best[:, None], -1)[:, 0]
     have_combo = jnp.isfinite(best_err)
 
-    # --- winning lines -> corners ----------------------------------------
-    pts = jnp.stack([ex[best], ey[best]], -1)       # (4, 2) line centroids
-    dirs = _line_dir(cxx[best], cxy[best], cyy[best])  # (4, 2)
-    # corner k = intersection of line (k-1) and line k
-    from ..utils.geometry import line_intersection
-    p_prev = jnp.roll(pts, 1, 0)
-    d_prev = jnp.roll(dirs, 1, 0)
-    corners = line_intersection(p_prev, d_prev, pts, dirs)  # (4, 2), normalized
-    corners = corners * scale + jnp.stack([cx, cy])  # back to pixels
+    take = lambda x: jnp.take_along_axis(x, best[:, None, None], 1)[:, 0]  # (C,4)
+    ex, ey = take(ex), take(ey)
+    cxx, cxy, cyy, aerr = take(cxx), take(cxy), take(cyy), take(aerr)
 
-    # --- gates ------------------------------------------------------------
-    # max per-arc MSE (convert normalized err -> px^2)
-    mse_ok = jnp.max(aerr[best]) * scale * scale <= max_line_fit_mse
-    # signed area (shoelace); also normalizes winding below
-    x0, y0 = corners[:, 0], corners[:, 1]
-    x1, y1 = jnp.roll(x0, -1), jnp.roll(y0, -1)
-    area2 = jnp.sum(x0 * y1 - x1 * y0)
-    area = 0.5 * jnp.abs(area2)
-    area_ok = area >= min_area
-    # corner angles: |cos| of angle between adjacent edges bounded away from 1
-    e_in = corners - jnp.roll(corners, 1, 0)
-    e_out = jnp.roll(corners, -1, 0) - corners
+    # --- winning lines -> corners --------------------------------------------
+    from ..utils.geometry import line_intersection
+    pts = jnp.stack([ex, ey], -1)                       # (C, 4, 2) centroids
+    dirs = _line_dir(cxx, cxy, cyy)                     # (C, 4, 2)
+    p_prev = jnp.roll(pts, 1, 1)
+    d_prev = jnp.roll(dirs, 1, 1)
+    corners = line_intersection(p_prev, d_prev, pts, dirs)  # (C, 4, 2)
+    corners = corners * scale[..., None] + jnp.stack([cx, cy], -1)
+
+    # --- gates ----------------------------------------------------------------
+    scale2 = (scale[..., 0]) ** 2
+    mse_ok = jnp.max(aerr, -1) * scale2 <= max_line_fit_mse
+    x0, y0 = corners[..., 0], corners[..., 1]
+    x1, y1 = jnp.roll(x0, -1, -1), jnp.roll(y0, -1, -1)
+    area2 = jnp.sum(x0 * y1 - x1 * y0, -1)
+    area_ok = 0.5 * jnp.abs(area2) >= min_area
+    e_in = corners - jnp.roll(corners, 1, 1)
+    e_out = jnp.roll(corners, -1, 1) - corners
     cosang = jnp.sum(e_in * e_out, -1) / jnp.maximum(
         jnp.linalg.norm(e_in, axis=-1) * jnp.linalg.norm(e_out, axis=-1), 1e-9)
-    ang_ok = jnp.all(jnp.abs(cosang) < critical_cos)
-    finite_ok = jnp.all(jnp.isfinite(corners))
+    ang_ok = jnp.all(jnp.abs(cosang) < critical_cos, -1)
+    finite_ok = jnp.all(jnp.isfinite(corners), (-2, -1))
 
-    gates = jnp.stack([have_combo, mse_ok, area_ok, ang_ok, finite_ok, n >= 8])
-    valid = jnp.all(gates)
+    gates = jnp.stack([have_combo, mse_ok, area_ok, ang_ok, finite_ok,
+                       n >= 8], -1)                     # (C, 6)
+    valid = jnp.all(gates, -1)
 
     # Normalize winding: force positive signed area (y-down CCW) so corner
     # order is consistent for decode; reverse 1<->3 if needed.
-    corners = jnp.where(area2 < 0, corners[jnp.array([0, 3, 2, 1])], corners)
+    flip = corners[:, jnp.array([0, 3, 2, 1])]
+    corners = jnp.where((area2 < 0)[:, None, None], flip, corners)
 
-    return corners, valid, dark_inside, best_err * scale * scale, gates
-
-
-def fit_quads(clusters: Clusters, *, max_line_fit_mse: float = 10.0,
-              critical_cos: float = 0.985, min_area: float = 64.0) -> Quads:
-    fit = functools.partial(_fit_one, max_line_fit_mse=max_line_fit_mse,
-                            critical_cos=critical_cos, min_area=min_area)
-    corners, valid, dark_inside, fit_err, gates = jax.vmap(fit)(
-        clusters.xy, clusters.grad, clusters.mask, clusters.count)
     return Quads(corners=corners, valid=valid, dark_inside=dark_inside,
-                 fit_err=fit_err, gates=gates)
+                 fit_err=best_err * scale2, gates=gates)
