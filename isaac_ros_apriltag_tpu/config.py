@@ -53,8 +53,15 @@ class DetectorConfig:
     max_edge_points: int = 1 << 17   # compacted boundary points per frame
     max_clusters: int = 128          # candidate boundary clusters kept
     max_cluster_points: int = 1024   # points retained per cluster
-    ccl_rounds: int = 6              # scan/propagate/jump rounds (see ops/ccl.py)
-    ccl_jumps: int = 2               # pointer-jumping passes per round
+    # CCL iteration: scan rounds are ~0.3 ms each in the Pallas backend while
+    # every pointer-jump pass costs ~4 ms (a 0.5M-element gather from an HBM
+    # table). Jumps are what converge small components attached through
+    # noisy percolation corridors (needed for small tags under sensor
+    # noise), so they are kept but RATIONED to every `ccl_jump_every`-th
+    # round instead of every round.
+    ccl_rounds: int = 8              # scan/propagate rounds (see ops/ccl.py)
+    ccl_jumps: int = 2               # pointer-jumping passes per jump round
+    ccl_jump_every: int = 4          # jump rounds: every Nth round
 
     # Threshold / segmentation tuning (AprilTag-3 standard values).
     min_white_black_diff: int = 5

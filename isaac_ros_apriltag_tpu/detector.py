@@ -110,10 +110,11 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
         if cfg.backend in ("pallas", "interpret"):
             from .ops.pallas.ccl import connected_components_pallas
             label = connected_components_pallas(
-                trinary, cfg.ccl_rounds, cfg.ccl_jumps,
+                trinary, cfg.ccl_rounds, cfg.ccl_jumps, cfg.ccl_jump_every,
                 interpret=cfg.backend == "interpret")
         else:
-            label = connected_components(trinary, cfg.ccl_rounds, cfg.ccl_jumps)
+            label = connected_components(trinary, cfg.ccl_rounds,
+                                         cfg.ccl_jumps, cfg.ccl_jump_every)
         label = jax.lax.optimization_barrier(label)
         sizes = component_sizes(label)
         sizes = jax.lax.optimization_barrier(sizes)
@@ -131,29 +132,36 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
         want_dark = not family.reversed_border
         qvalid = quads.valid & (quads.dark_inside == want_dark)
 
+        # --- top max_tags candidate quads by fit quality -------------------
+        # Selecting BEFORE refine/decode halves the cost of the full-res
+        # sampling stages (they gather from the 8 MB image, the slow memory
+        # tier). max_tags is the reference's own output capacity
+        # (apriltag_node.cpp:564); with <= max_tags real quads in frame the
+        # result is identical to decoding every cluster.
+        T = cfg.max_tags
+        qscore = jnp.where(qvalid, -quads.fit_err, -jnp.inf)
+        top_qs, top_i = jax.lax.top_k(qscore, T)
+        pre_valid = jnp.isfinite(top_qs)
+        qcorners = quads.corners[top_i]
+        qdark = quads.dark_inside[top_i]
+
         # Subpixel edge refinement (AprilTag 3's refine_edges): removes the
         # +-0.5 px quantization of the raw pair-midpoint boundary points and
         # the quad_decimate quantization (corners move back to full-res).
         corners = refine_edges(gray,
-                               _upscale_coords(quads.corners, cfg.quad_decimate),
-                               quads.dark_inside,
+                               _upscale_coords(qcorners, cfg.quad_decimate),
+                               qdark,
                                search_range=cfg.quad_decimate + 1.0)
 
         dec = decode_quads(gray, corners, family,
                            max_hamming=cfg.max_hamming,
                            decode_sharpening=cfg.decode_sharpening)
-        cand = (qvalid & dec.valid
-                & (dec.margin >= cfg.min_decision_margin))
-
-        # --- top max_tags by decision margin ------------------------------
-        T = cfg.max_tags
-        score = jnp.where(cand, dec.margin, -jnp.inf)
-        top_score, top_i = jax.lax.top_k(score, T)
-        sel_valid = jnp.isfinite(top_score)
-        sel_ids = dec.id[top_i]
-        sel_margin = dec.margin[top_i]
-        sel_ham = dec.hamming[top_i]
-        sel_corners = dec.corners[top_i]
+        sel_valid = (pre_valid & dec.valid
+                     & (dec.margin >= cfg.min_decision_margin))
+        sel_ids = dec.id
+        sel_margin = dec.margin
+        sel_ham = dec.hamming
+        sel_corners = dec.corners
 
         sel_valid = _dedupe(sel_valid, sel_ids, sel_margin, sel_corners)
 

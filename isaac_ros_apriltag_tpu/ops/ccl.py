@@ -67,12 +67,17 @@ def _shifted(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
 _DIAGONALS = ((1, 1), (1, -1), (-1, 1), (-1, -1))
 
 
-def connected_components(trinary: jax.Array, rounds: int = 6, jumps: int = 2
-                         ) -> jax.Array:
+def connected_components(trinary: jax.Array, rounds: int = 6, jumps: int = 2,
+                         jump_every: int = 1) -> jax.Array:
     """(H, W) uint8 trinary {0,127,255} -> (H, W) int32 component labels.
 
     Valid pixels get the min linear index of their component; 127 pixels keep
     their own index (self-loop singleton, excluded downstream).
+
+    `jumps` pointer-jumping passes run only in rounds where
+    (round+1) % jump_every == 0 (jumping is what converges snake-like
+    percolation-noise components, but each pass is a full-image gather —
+    the most expensive op in the loop — so it is rationed).
     """
     H, W = trinary.shape
     idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
@@ -103,21 +108,29 @@ def connected_components(trinary: jax.Array, rounds: int = 6, jumps: int = 2
         jax.lax.optimization_barrier(
             (row_b, row_b_rev, col_b, col_b_rev, diag_conn)))
 
-    def body(_, label):
+    def body(r, label):
+        # Round order (row scans -> diag hop -> col scans -> jumps) matches
+        # the Pallas backend round-for-round for bit-exact parity.
         label = _seg_min_scan(label, row_b, 1, False)
         label = _seg_min_scan(label, row_b_rev, 1, True)
-        label = _seg_min_scan(label, col_b, 0, False)
-        label = _seg_min_scan(label, col_b_rev, 0, True)
-        # one diagonal hop (white only)
+        # one diagonal hop (white only), all neighbors from the pre-hop label
         m = label
         for k, (dy, dx) in enumerate(_DIAGONALS):
             nl = _shifted(label, dy, dx, jnp.int32(H * W))
             m = jnp.minimum(m, jnp.where(diag_conn[k], nl, label))
-        # pointer jumping
-        flat = m.reshape(-1)
-        for _ in range(jumps):
-            flat = flat[flat]
-        return flat.reshape(H, W)
+        label = _seg_min_scan(m, col_b, 0, False)
+        label = _seg_min_scan(label, col_b_rev, 0, True)
+
+        def jump(lab):
+            flat = lab.reshape(-1)
+            for _ in range(jumps):
+                flat = flat[flat]
+            return flat.reshape(H, W)
+
+        if jumps == 0:
+            return label
+        return jax.lax.cond((r + 1) % jump_every == 0, jump,
+                            lambda lab: lab, label)
 
     label = jax.lax.fori_loop(0, rounds, body, idx, unroll=False)
     return label

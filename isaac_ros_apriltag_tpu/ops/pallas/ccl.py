@@ -2,25 +2,29 @@
 
 The XLA CCL (ops/ccl.py) spends its time in `jax.lax.associative_scan`
 log-step graphs whose per-step slices force repeated HBM round trips
-(measured 55 ms/frame at 960x540). Here one CCL round is decomposed by data
-dependence:
+(measured 55 ms/frame at 960x540). Here one CCL round is two pallas calls
+plus one cheap XLA gather pass:
 
-  - row fwd/bwd segmented min-scans  -> Pallas kernel, grid over row bands
+  - row fwd/bwd segmented min-scans  -> kernel, grid over row bands
     (rows are independent, so each program scans its band in VMEM with
     Hillis-Steele log-steps over lane rotates);
-  - col fwd/bwd segmented min-scans  -> Pallas kernel, grid over col bands
-    (same, log-steps over sublane rotates);
-  - white-only diagonal hop          -> XLA (9 shifted elementwise mins);
-  - pointer jumping label[label]     -> XLA (the (H*W,) gather table is
-    VMEM-sized at segmentation resolution; XLA's gather is ~40 us there,
-    while an in-kernel VMEM gather would serialize).
+  - white-only diagonal hop + col fwd/bwd scans -> kernel, grid over column
+    bands (a column band holds every row, so vertical neighbors are local;
+    the dx = +-1 halo lanes come from the adjacent bands, passed as two
+    extra clamped-index block views);
+  - pointer jumping label[label]     -> XLA (the gather table is VMEM-sized
+    at segmentation resolution, where XLA's gather is tens of microseconds;
+    an in-kernel VMEM gather would serialize). Labels stay in PADDED flat
+    index space between rounds — no per-round crop/repad (the former XLA
+    diag+crop+pad glue cost 8.5 ms/round, more than both kernels together).
 
-Each round is BIT-identical to the XLA backend's round (the scans compute
+Each round is BIT-identical to the XLA backend's round — the scans compute
 the same exact segmented min, the diag hop reads all four neighbors from the
-same pre-hop label), so parity with ops/ccl.py holds at any round count —
-enforced by tests/test_pallas.py. The reference hides its equivalent (a CUDA
-union-find) inside closed binaries (ref: isaac_ros_apriltag/src/
-apriltag_node.cpp:491-493).
+same pre-hop label, and both backends order a round as
+row scans -> diag hop -> col scans -> jumps — so parity with ops/ccl.py
+holds at any round count (enforced by tests/test_pallas.py). The reference
+hides its equivalent (a CUDA union-find) inside closed binaries (ref:
+isaac_ros_apriltag/src/apriltag_node.cpp:491-493).
 """
 
 from __future__ import annotations
@@ -36,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 # captured constants, which pallas_call rejects.
 _INF = 2 ** 30
 _ROW_BAND = 64    # rows per program in the row-scan kernel
-_COL_BAND = 128   # cols per program in the col-scan kernel
+_COL_BAND = 128   # cols per program in the col+diag kernel
 
 
 def _shift_with_fill(x, d: int, axis: int, fill):
@@ -69,42 +73,82 @@ def _seg_min_scan_steps(label, flag, axis: int, direction: int, n: int):
     return label
 
 
-def _scan_kernel(axis: int, n: int):
+def _scan_pair(tri, label, axis: int, n: int):
+    """Forward + backward segmented min-scans along `axis` (tri is int32)."""
+    invalid = tri == 127
+    fwd_b = ((tri != _shift_with_fill(tri, 1, axis, 127))
+             | invalid).astype(jnp.int32)
+    label = _seg_min_scan_steps(label, fwd_b, axis=axis, direction=1, n=n)
+    bwd_b = ((tri != _shift_with_fill(tri, -1, axis, 127))
+             | invalid).astype(jnp.int32)
+    return _seg_min_scan_steps(label, bwd_b, axis=axis, direction=-1, n=n)
+
+
+def _row_kernel(n: int):
     def kernel(tri_ref, lab_ref, out_ref):
         tri = tri_ref[:].astype(jnp.int32)   # Mosaic rotates need 32-bit
-        invalid = tri == 127
-        fwd_b = ((tri != _shift_with_fill(tri, 1, axis, 127))
-                 | invalid).astype(jnp.int32)
-        label = _seg_min_scan_steps(lab_ref[:], fwd_b, axis=axis,
-                                    direction=1, n=n)
-        bwd_b = ((tri != _shift_with_fill(tri, -1, axis, 127))
-                 | invalid).astype(jnp.int32)
-        out_ref[:] = _seg_min_scan_steps(label, bwd_b, axis=axis,
-                                         direction=-1, n=n)
+        out_ref[:] = _scan_pair(tri, lab_ref[:], axis=1, n=n)
     return kernel
 
 
-def _shifted(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
-    """out[y, x] = x[y+dy, x+dx], edges filled (same as ops.ccl._shifted)."""
-    out = jnp.roll(x, (-dy, -dx), (0, 1))
-    if dy == 1:
-        out = out.at[-1, :].set(fill)
-    if dy == -1:
-        out = out.at[0, :].set(fill)
-    if dx == 1:
-        out = out.at[:, -1].set(fill)
-    if dx == -1:
-        out = out.at[:, 0].set(fill)
-    return out
+def _col_diag_kernel(n: int, band: int):
+    """Diag hop (on the post-row-scan labels) + column fwd/bwd scans.
+
+    Receives the center column band plus its left/right neighbor bands
+    (clamped at the image edges) for the dx = +-1 halo lanes.
+    """
+
+    def neighbor(xc, xl, xr, dy, dx, fill, j, nj, lc):
+        # out[r, c] = x[r+dy, c+dx] in GLOBAL coordinates.
+        def dyshift(a):
+            return _shift_with_fill(a, -dy, 0, fill)
+        c = dyshift(xc)
+        if dx == 1:
+            # neighbor at c+1: rotate left; last lane comes from right band
+            shifted = pltpu.roll(c, band - 1, 1)
+            borrow = pltpu.roll(dyshift(xr), band - 1, 1)
+            out = jnp.where(lc == band - 1, borrow, shifted)
+            edge = (lc == band - 1) & (j == nj - 1)
+        else:
+            # neighbor at c-1: rotate right; first lane comes from left band
+            shifted = pltpu.roll(c, 1, 1)
+            borrow = pltpu.roll(dyshift(xl), 1, 1)
+            out = jnp.where(lc == 0, borrow, shifted)
+            edge = (lc == 0) & (j == 0)
+        return jnp.where(edge, fill, out)
+
+    def kernel(tc_ref, tl_ref, tr_ref, lc_ref, ll_ref, lr_ref, out_ref):
+        j = pl.program_id(0)
+        nj = pl.num_programs(0)
+        tc = tc_ref[:].astype(jnp.int32)
+        tl = tl_ref[:].astype(jnp.int32)
+        tr = tr_ref[:].astype(jnp.int32)
+        label = lc_ref[:]
+        lc = jax.lax.broadcasted_iota(jnp.int32, tc.shape, 1)
+
+        # White-only diagonal hop; all four neighbors read from the pre-hop
+        # label (bit-parity with the XLA backend's hop).
+        white = tc == 255
+        m = label
+        for dy, dx in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
+            ntri = neighbor(tc, tl, tr, dy, dx, 127, j, nj, lc)
+            nlab = neighbor(label, ll_ref[:], lr_ref[:], dy, dx, _INF,
+                            j, nj, lc)
+            conn = white & (ntri == tc)
+            m = jnp.minimum(m, jnp.where(conn, nlab, label))
+
+        out_ref[:] = _scan_pair(tc, m, axis=0, n=n)
+    return kernel
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("rounds", "jumps", "interpret"))
+@functools.partial(jax.jit, static_argnames=("rounds", "jumps", "jump_every",
+                                             "interpret"))
 def connected_components_pallas(trinary: jax.Array, rounds: int = 6,
-                                jumps: int = 2, *,
+                                jumps: int = 2, jump_every: int = 1, *,
                                 interpret: bool = False) -> jax.Array:
     """Drop-in replacement for ops.ccl.connected_components.
 
@@ -112,21 +156,19 @@ def connected_components_pallas(trinary: jax.Array, rounds: int = 6,
     bit-identical to the XLA backend (both assign the min flat index).
     """
     H, W = trinary.shape
-    Hp = _round_up(H, max(_ROW_BAND, 8))
+    Hp = _round_up(H, _ROW_BAND)
     Wp = _round_up(W, _COL_BAND)
     tri = jnp.pad(trinary, ((0, Hp - H), (0, Wp - W)),
                   constant_values=jnp.uint8(127))
-    # Labels are flat indices in the UNPADDED index space, so sizes/cluster
-    # tables downstream are (H*W,) exactly as with the XLA backend. Padding
-    # pixels get out-of-band labels (127-invalid singletons; they never win
-    # a min inside a real component).
+    # Work in PADDED flat index space (remapped to unpadded at the end, which
+    # preserves the component representative: both index spaces are
+    # lexicographic in (y, x), so the min is the same pixel).
     ys = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)
-    inside = (ys < H) & (xs < W)
-    label0 = jnp.where(inside, ys * W + xs, _INF - 1)
+    label0 = ys * Wp + xs
 
     row_scan = pl.pallas_call(
-        _scan_kernel(axis=1, n=Wp),
+        _row_kernel(Wp),
         grid=(Hp // _ROW_BAND,),
         out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
         in_specs=[pl.BlockSpec((_ROW_BAND, Wp), lambda i: (i, 0),
@@ -137,42 +179,38 @@ def connected_components_pallas(trinary: jax.Array, rounds: int = 6,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )
+    nj = Wp // _COL_BAND
+    left = lambda j: (0, jnp.maximum(j - 1, 0))
+    right = lambda j: (0, jnp.minimum(j + 1, nj - 1))
+    center = lambda j: (0, j)
+    cspec = lambda ix: pl.BlockSpec((Hp, _COL_BAND), ix,
+                                    memory_space=pltpu.VMEM)
     col_scan = pl.pallas_call(
-        _scan_kernel(axis=0, n=Hp),
-        grid=(Wp // _COL_BAND,),
+        _col_diag_kernel(Hp, _COL_BAND),
+        grid=(nj,),
         out_shape=jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
-        in_specs=[pl.BlockSpec((Hp, _COL_BAND), lambda j: (0, j),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((Hp, _COL_BAND), lambda j: (0, j),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((Hp, _COL_BAND), lambda j: (0, j),
-                               memory_space=pltpu.VMEM),
+        in_specs=[cspec(center), cspec(left), cspec(right),
+                  cspec(center), cspec(left), cspec(right)],
+        out_specs=cspec(center),
         interpret=interpret,
     )
 
-    # Diagonal connectivity (white only), precomputed once — identical rule
-    # to ops.ccl.connected_components.
-    valid = tri != 127
-    diag = []
-    for dy, dx in ((1, 1), (1, -1), (-1, 1), (-1, -1)):
-        nv = _shifted(tri, dy, dx, jnp.uint8(127))
-        diag.append((nv == tri) & valid & (tri == 255))
-    diag = jax.lax.optimization_barrier(jnp.stack(diag))
-
-    def body(_, label):
+    def body(r, label):
         label = row_scan(tri, label)
-        label = col_scan(tri, label)
-        # White diagonal hop (all neighbors read from the pre-hop label).
-        m = label
-        for k, (dy, dx) in enumerate(((1, 1), (1, -1), (-1, 1), (-1, -1))):
-            nl = _shifted(label, dy, dx, jnp.int32(_INF))
-            m = jnp.minimum(m, jnp.where(diag[k], nl, label))
-        # Pointer jumping on the unpadded flat index space.
-        crop = m[:H, :W].reshape(-1)
-        for _ in range(jumps):
-            crop = crop[crop]
-        return jnp.pad(crop.reshape(H, W), ((0, Hp - H), (0, Wp - W)),
-                       constant_values=jnp.int32(_INF - 1))
+        label = col_scan(tri, tri, tri, label, label, label)
+
+        def jump(lab):
+            flat = lab.reshape(-1)
+            for _ in range(jumps):
+                flat = flat[flat]
+            return flat.reshape(Hp, Wp)
+
+        if jumps == 0:
+            return label
+        return jax.lax.cond((r + 1) % jump_every == 0, jump,
+                            lambda lab: lab, label)
 
     label = jax.lax.fori_loop(0, rounds, body, label0, unroll=False)
-    return label[:H, :W]
+    # Remap padded flat indices -> unpadded flat indices and crop.
+    label = label[:H, :W]
+    return (label // Wp) * W + (label % Wp)
