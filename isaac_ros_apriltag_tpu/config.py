@@ -86,8 +86,14 @@ class DetectorConfig:
             raise ValueError("max_tags must be in (0, max_clusters]")
         if self.tile_size < 2:
             raise ValueError("tile_size must be >= 2")
+        if self.backend in ("pallas", "interpret") and self.tile_size not in (2, 4, 8, 16, 32):
+            raise ValueError(
+                f"tile_size={self.tile_size} unsupported by the {self.backend!r} "
+                "backend (Pallas threshold kernel requires tile_size in {2,4,8,16,32})")
         if self.quad_decimate < 1:
             raise ValueError("quad_decimate must be >= 1")
+        if self.ccl_jump_every < 1:
+            raise ValueError("ccl_jump_every must be >= 1")
         fam_h = FAMILY_SPECS[self.tag_family][1]
         if self.max_hamming > (fam_h - 1) // 2:
             raise ValueError(

@@ -21,11 +21,11 @@ from .camera.model import CameraModel
 from .config import DetectorConfig
 from .models.families import TagFamily, get_family
 from .ops.ccl import component_sizes, connected_components
-from .ops.clusters import extract_clusters
+from .ops.cluster_moments import extract_cluster_moments
 from .ops.decode import decode_quads
 from .ops.grayscale import grayscale
 from .ops.pose import estimate_poses
-from .ops.quadfit import fit_quads
+from .ops.quadfit import fit_quads_from_moments
 from .ops.refine import refine_edges
 from .ops.threshold import adaptive_threshold
 from .types import Detections, FrameStats
@@ -118,29 +118,35 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
         label = jax.lax.optimization_barrier(label)
         sizes = component_sizes(label)
         sizes = jax.lax.optimization_barrier(sizes)
-        clusters = extract_clusters(
+        clusters = extract_cluster_moments(
             trinary, label, sizes,
-            max_edge_points=cfg.max_edge_points,
             max_clusters=cfg.max_clusters,
-            max_cluster_points=cfg.max_cluster_points,
             min_component_pixels=cfg.min_component_pixels,
             min_cluster_pixels=cfg.min_cluster_pixels)
         clusters = jax.lax.optimization_barrier(clusters)
-        quads = fit_quads(clusters,
-                          min_area=64.0 / (cfg.quad_decimate ** 2))
+        quads = fit_quads_from_moments(
+            clusters, min_area=64.0 / (cfg.quad_decimate ** 2))
         # Border polarity gate: normal families have a dark interior.
         want_dark = not family.reversed_border
         qvalid = quads.valid & (quads.dark_inside == want_dark)
 
-        # --- top max_tags candidate quads by fit quality -------------------
+        # --- top candidate quads by fit quality ----------------------------
         # Selecting BEFORE refine/decode halves the cost of the full-res
         # sampling stages (they gather from the 8 MB image, the slow memory
-        # tier). max_tags is the reference's own output capacity
-        # (apriltag_node.cpp:564); with <= max_tags real quads in frame the
-        # result is identical to decoding every cluster.
+        # tier). Two safeguards against evicting real tags pre-decode:
+        # (a) the rank score favors LARGE quads (perimeter / (1 + fit_err));
+        #     raw fit_err alone lets tiny interior quads with near-zero
+        #     line-fit error outrank real tag borders;
+        # (b) a 2x margin above max_tags is decoded, so bad candidates can
+        #     still lose at decode time; the final top-max_tags cut is by
+        #     decision margin. max_tags is the reference's output capacity
+        #     (apriltag_node.cpp:564).
         T = cfg.max_tags
-        qscore = jnp.where(qvalid, -quads.fit_err, -jnp.inf)
-        top_qs, top_i = jax.lax.top_k(qscore, T)
+        T2 = min(2 * T, quads.valid.shape[0])
+        perim = jnp.sum(jnp.linalg.norm(
+            quads.corners - jnp.roll(quads.corners, 1, 1), axis=-1), axis=-1)
+        qscore = jnp.where(qvalid, perim / (1.0 + quads.fit_err), -jnp.inf)
+        top_qs, top_i = jax.lax.top_k(qscore, T2)
         pre_valid = jnp.isfinite(top_qs)
         qcorners = quads.corners[top_i]
         qdark = quads.dark_inside[top_i]
@@ -156,14 +162,19 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
         dec = decode_quads(gray, corners, family,
                            max_hamming=cfg.max_hamming,
                            decode_sharpening=cfg.decode_sharpening)
-        sel_valid = (pre_valid & dec.valid
+        dec_valid = (pre_valid & dec.valid
                      & (dec.margin >= cfg.min_decision_margin))
-        sel_ids = dec.id
-        sel_margin = dec.margin
-        sel_ham = dec.hamming
-        sel_corners = dec.corners
+        dec_valid = _dedupe(dec_valid, dec.id, dec.margin, dec.corners)
 
-        sel_valid = _dedupe(sel_valid, sel_ids, sel_margin, sel_corners)
+        # Final top-max_tags cut by decision margin (the post-decode ranking
+        # the T2 pre-decode margin exists to enable).
+        fscore = jnp.where(dec_valid, dec.margin, -jnp.inf)
+        top_fs, top_f = jax.lax.top_k(fscore, T)
+        sel_valid = jnp.isfinite(top_fs)
+        sel_ids = dec.id[top_f]
+        sel_margin = dec.margin[top_f]
+        sel_ham = dec.hamming[top_f]
+        sel_corners = dec.corners[top_f]
 
         # Center = intersection of the two diagonals, exactly as the
         # reference's CUDA backend computes it (apriltag_node.cpp:520-530).
@@ -184,14 +195,20 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
             quaternion=poses.quaternion,
             rotation=poses.rotation,
         )
+        n_quads = jnp.sum(qvalid.astype(jnp.int32))
         stats = FrameStats(
             num_edge_points=clusters.num_edge_points,
             num_clusters=clusters.num_clusters,
-            num_quads=jnp.sum(qvalid.astype(jnp.int32)),
+            num_quads=n_quads,
             num_detections=jnp.sum(sel_valid.astype(jnp.int32)),
-            edge_stride=clusters.edge_stride,
-            overflow=clusters.overflow
-            | (clusters.num_clusters > cfg.max_clusters),
+            # The sort-free moment pipeline has no edge-point capacity, so no
+            # decimation ever applies (kept for FrameStats schema stability).
+            edge_stride=jnp.ones((), jnp.int32),
+            # clusters.overflow covers hash-probe exhaustion and
+            # eligible-cluster truncation (num_eligible > max_clusters, NOT
+            # raw segment count — sub-threshold segments never get slots);
+            # additionally flag when valid quads exceeded the decode budget.
+            overflow=clusters.overflow | (n_quads > T2),
         )
         return det, stats
 

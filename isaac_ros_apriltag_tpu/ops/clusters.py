@@ -47,6 +47,7 @@ class Clusters(NamedTuple):
     mask: jax.Array      # (C, P) bool
     count: jax.Array     # (C,) int32 — points per cluster (capped at P)
     num_clusters: jax.Array  # () int32 — segments before the top-C cap
+    num_eligible: jax.Array  # () int32 — segments passing the size gates
     num_edge_points: jax.Array  # () int32 — boundary points before capacity cap
     edge_stride: jax.Array   # () int32 — global decimation applied on overflow
     overflow: jax.Array      # () bool — a capacity was exceeded
@@ -71,9 +72,10 @@ def extract_clusters(trinary: jax.Array, label: jax.Array, sizes: jax.Array,
                      min_cluster_pixels: int) -> Clusters:
     H, W = trinary.shape
     E, C, P = max_edge_points, max_clusters, max_cluster_points
-    assert 2 * W < (1 << 12) and 2 * H < (1 << 12), (
-        "packed payload supports segmentation images up to 2047x2047; "
-        "use quad_decimate for larger frames")
+    if not (2 * W < (1 << 12) and 2 * H < (1 << 12)):
+        raise ValueError(
+            "packed payload supports segmentation images up to 2047x2047; "
+            f"got {H}x{W} — use quad_decimate for larger frames")
 
     # --- dense component relabel (folds in the size gate) ------------------
     flat_label = label.reshape(-1)
@@ -114,12 +116,16 @@ def extract_clusters(trinary: jax.Array, label: jax.Array, sizes: jax.Array,
     # pair chain in every log-step of the prefix sum.
     key, pay, mask = jax.lax.optimization_barrier((key, pay, mask))
 
-    # --- compaction into E-capacity buffers (global stride on overflow) ----
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
-    num_edge = pos[-1] + 1
+    # --- compaction into E-capacity buffers (hash decimation on overflow) ----
+    # Survivors are chosen by payload hash, NOT by scan-order stride: scan
+    # order is structured (e.g. one left-edge point per row for a vertical
+    # edge), so `pos % stride == 0` can alias out one whole edge of a tag.
+    # A hash gate is a uniform spatial subsample of each cluster.
+    num_edge = jnp.sum(mask.astype(jnp.int32))
     stride = jnp.maximum((num_edge + E - 1) // E, 1)
-    keep = mask & (pos % stride == 0)
-    pos = pos // stride
+    pay_hash = (pay * jnp.int32(-1640531527)) & jnp.int32(0x7FFFFFFF)
+    keep = mask & (pay_hash % stride == 0)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     dest = jnp.where(keep & (pos < E), pos, E)
     buf_key = jnp.full((E + 1,), _I32MAX, jnp.int32).at[dest].set(key)[:E]
     buf_pay = jnp.zeros((E + 1,), jnp.int32).at[dest].set(pay)[:E]
@@ -181,7 +187,8 @@ def extract_clusters(trinary: jax.Array, label: jax.Array, sizes: jax.Array,
     top_stride = jnp.maximum((top_sizes + P - 1) // P, 1)
     count = jnp.where(slot_valid, (top_sizes + top_stride - 1) // top_stride, 0)
 
+    n_eligible = jnp.sum(eligible_seg.astype(jnp.int32))
     return Clusters(xy=xy, grad=grad, mask=flat_ok.reshape(C, P),
-                    count=count, num_clusters=nseg, num_edge_points=num_edge,
-                    edge_stride=stride,
-                    overflow=(num_edge > E) | comp_overflow)
+                    count=count, num_clusters=nseg, num_eligible=n_eligible,
+                    num_edge_points=num_edge, edge_stride=stride,
+                    overflow=(num_edge > E) | comp_overflow | (n_eligible > C))

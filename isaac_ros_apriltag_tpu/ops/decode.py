@@ -143,7 +143,18 @@ def decode_quads(gray: jax.Array, corners: jax.Array, family: TagFamily, *,
 
     deviation = v_bits - thresh
     bits = deviation > 0                                       # (C, nbits) bool
-    margin = jnp.mean(jnp.abs(deviation), axis=-1)
+    # AprilTag 3 decision margin: intensities are scored per decoded CLASS —
+    # mean deviation of the bits read as white and of the bits read as black
+    # — and the margin is the WORSE of the two class means (one washed-out
+    # class cannot hide behind a strong one). A class with no bits
+    # contributes +inf so the other class's mean rules.
+    wmask = bits.astype(jnp.float32)
+    bmask = 1.0 - wmask
+    wcnt = jnp.sum(wmask, -1)
+    bcnt = jnp.sum(bmask, -1)
+    wmean = jnp.where(wcnt > 0, jnp.sum(deviation * wmask, -1) / jnp.maximum(wcnt, 1.0), jnp.inf)
+    bmean = jnp.where(bcnt > 0, jnp.sum(-deviation * bmask, -1) / jnp.maximum(bcnt, 1.0), jnp.inf)
+    margin = jnp.minimum(wmean, bmean)
 
     # --- codebook match under 4 rotations ---------------------------------
     perms = jnp.asarray(family.rotation_perm)                  # (4, nbits)

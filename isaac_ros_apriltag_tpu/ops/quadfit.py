@@ -103,6 +103,9 @@ def _line_dir(cxx, cxy, cyy):
 
 def fit_quads(clusters: Clusters, *, max_line_fit_mse: float = 10.0,
               critical_cos: float = 0.985, min_area: float = 64.0) -> Quads:
+    """Legacy point-list entry: bins moments from (C, P) point buffers, then
+    runs the shared bin-space fit (see fit_quads_from_moments for the
+    sort-free pipeline that feeds moments directly)."""
     xy, grad, mask, n = clusters.xy, clusters.grad, clusters.mask, clusters.count
     C, P, _ = xy.shape
     K = _NBINS
@@ -136,6 +139,33 @@ def fit_quads(clusters: Clusters, *, max_line_fit_mse: float = 10.0,
     fields = (w, sx * w, sy * w, sx * sx * w, sx * sy * w, sy * sy * w)
     B = [jnp.zeros((C * K + 1,), jnp.float32).at[flat].add(f.reshape(-1))[:-1]
          .reshape(C, K) for f in fields]
+    return _fit_quads_bins(B, jnp.concatenate([cx, cy], -1), scale[..., 0],
+                           dark_inside, n, jnp.ones((C,), bool),
+                           max_line_fit_mse=max_line_fit_mse,
+                           critical_cos=critical_cos, min_area=min_area)
+
+
+def fit_quads_from_moments(m, *, max_line_fit_mse: float = 10.0,
+                           critical_cos: float = 0.985,
+                           min_area: float = 64.0) -> Quads:
+    """Sort-free entry: consumes ops.cluster_moments.ClusterMoments."""
+    return _fit_quads_bins([m.bw, m.bx, m.by, m.bxx, m.bxy, m.byy],
+                           m.centroid, m.scale, m.dark_inside, m.count,
+                           m.valid, max_line_fit_mse=max_line_fit_mse,
+                           critical_cos=critical_cos, min_area=min_area)
+
+
+def _fit_quads_bins(B, centroid, scale, dark_inside, n, cluster_valid, *,
+                    max_line_fit_mse: float, critical_cos: float,
+                    min_area: float) -> Quads:
+    """Shared bin-space quad fit. B = 6 (C, K) per-bin moment sums over
+    scale-normalized coordinates; bins are any monotone circular angle
+    parameterization about the centroid."""
+    C, K = B[0].shape
+    assert K == _NBINS, K
+    cx = centroid[:, 0:1]
+    cy = centroid[:, 1:2]
+    scale = jnp.maximum(scale[:, None], 1e-6)          # (C, 1)
     # circular prefix sums: (C, K+1)
     S = [jnp.concatenate([jnp.zeros((C, 1), jnp.float32),
                           jnp.cumsum(b, -1)], -1) for b in B]

@@ -53,20 +53,28 @@ def test_noisy_scene_detects_all(camera, noise):
         assert err < 1.0, (r["id"], err)
 
 
-def test_overflow_decimates_not_truncates(camera):
-    """Force edge-point overflow with a tiny capacity: detection must
-    survive via global stride decimation, and the overflow must be flagged
-    (the reference logs detector errors, ref: apriltag_node.cpp:494-497)."""
-    img, gt = _scene(camera, [(-0.4, -0.25), (0.3, 0.2)], noise=2.0,
-                     z=1.5, tag_size=0.25)
-    cfg = DetectorConfig(tag_size=0.25, backend="xla",
-                         max_edge_points=1 << 14, quad_decimate=1)
+def test_overflow_keeps_biggest_clusters(camera):
+    """Cluster-slot pressure must degrade gracefully: with max_clusters far
+    below the number of eligible boundary clusters, the LARGEST clusters
+    (real tag borders) keep their slots, detection survives, and the
+    truncation is flagged (the reference logs detector errors, ref:
+    apriltag_node.cpp:494-497). The sort-free pipeline has no edge-point
+    capacity at all, so point-buffer overflow cannot occur by construction —
+    the remaining capacity is the top-C cluster cut exercised here."""
+    # Two large tags under noise; C=8 < eligible clusters (each tag
+    # contributes its outer border cluster plus several interior clusters,
+    # and noise adds more).
+    positions = [(-0.4, -0.25), (0.3, 0.2)]
+    big_ids = [100, 200]
+    img, gt = _scene(camera, positions, noise=3.0, ids=big_ids,
+                     z=1.2, tag_size=0.28)
+    cfg = DetectorConfig(tag_size=0.28, backend="xla", max_clusters=16,
+                         max_tags=16)
     det, stats = Detector(cfg, camera).detect_with_stats(img, encoding="mono8")
     assert bool(stats.overflow)
-    assert int(stats.edge_stride) > 1
-    assert int(stats.num_edge_points) > (1 << 12)
-    got = sorted(np.asarray(det.id)[np.asarray(det.valid)].tolist())
-    assert got == sorted(gt)
+    assert int(stats.num_edge_points) > 1000
+    got = np.asarray(det.id)[np.asarray(det.valid)].tolist()
+    assert set(big_ids) <= set(got)
 
 
 def test_clean_scene_has_no_overflow(camera):

@@ -32,10 +32,18 @@ for i, (x, y) in enumerate([(-0.8, -0.45), (0.0, -0.45), (0.8, -0.45),
     t = np.array([x, y, 2.5])
     tags.append(dict(family=fam, id=7 * i + 1, R=upright_pose(t, 0.1 * i),
                      t=t, tag_size=0.3))
-frame = render_tags(np.asarray(cam.K), (H, W), tags, noise=2.0)
+_CACHE = "/tmp/bench_frame_1080_noise2.npy"
+if os.path.exists(_CACHE):
+    frame = np.load(_CACHE)
+else:
+    frame = render_tags(np.asarray(cam.K), (H, W), tags, noise=2.0)
+    np.save(_CACHE, frame)
 print("rendered", flush=True)
 cfg = DetectorConfig(tag_size=0.3, backend="xla")
 gray0 = jnp.asarray(frame, jnp.float32)
+
+
+BACKEND = os.environ.get("BISECT_BACKEND", "xla")
 
 
 def chain(n):
@@ -43,24 +51,38 @@ def chain(n):
         from isaac_ros_apriltag_tpu.detector import _decimate, _pad_to_tiles, _upscale_coords
         d = int(os.environ.get("BISECT_DECIMATE", "2"))
         seg = _pad_to_tiles(_decimate(gray, d), cfg.tile_size)
-        trinary = adaptive_threshold(seg, cfg.tile_size, cfg.min_white_black_diff)
+        if BACKEND == "pallas":
+            from isaac_ros_apriltag_tpu.ops.pallas.threshold import adaptive_threshold_pallas
+            trinary = adaptive_threshold_pallas(seg, cfg.tile_size, cfg.min_white_black_diff)
+        else:
+            trinary = adaptive_threshold(seg, cfg.tile_size, cfg.min_white_black_diff)
+        gray, trinary = jax.lax.optimization_barrier((gray, trinary))
         if n == 1:
             return trinary
-        label = connected_components(trinary, cfg.ccl_rounds, cfg.ccl_jumps)
+        if BACKEND == "pallas":
+            from isaac_ros_apriltag_tpu.ops.pallas.ccl import connected_components_pallas
+            label = connected_components_pallas(
+                trinary, cfg.ccl_rounds, cfg.ccl_jumps, cfg.ccl_jump_every)
+        else:
+            label = connected_components(trinary, cfg.ccl_rounds, cfg.ccl_jumps,
+                                         cfg.ccl_jump_every)
+        label = jax.lax.optimization_barrier(label)
         if n == 2:
             return label
         sizes = component_sizes(label)
+        sizes = jax.lax.optimization_barrier(sizes)
         if n == 3:
             return sizes
-        clusters = extract_clusters(
-            trinary, label, sizes, max_edge_points=cfg.max_edge_points,
-            max_clusters=cfg.max_clusters,
-            max_cluster_points=cfg.max_cluster_points,
+        from isaac_ros_apriltag_tpu.ops.cluster_moments import extract_cluster_moments
+        clusters = extract_cluster_moments(
+            trinary, label, sizes, max_clusters=cfg.max_clusters,
             min_component_pixels=cfg.min_component_pixels,
             min_cluster_pixels=cfg.min_cluster_pixels)
+        clusters = jax.lax.optimization_barrier(clusters)
         if n == 4:
             return clusters
-        quads = fit_quads(clusters, min_area=64.0 / (d * d))
+        from isaac_ros_apriltag_tpu.ops.quadfit import fit_quads_from_moments
+        quads = fit_quads_from_moments(clusters, min_area=64.0 / (d * d))
         if n == 5:
             return quads
         corners = refine_edges(gray, _upscale_coords(quads.corners, d),

@@ -7,6 +7,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_COMPILATION_CACHE_DIR"] = "/tmp/jax_cache"
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# The environment may pre-import jax and pin a hardware platform before this
+# script runs (site customization) — the env vars above are then too late.
+# Updating the config post-import keeps dev smoke runs off the TPU.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 
 from isaac_ros_apriltag_tpu import CameraModel, Detector, DetectorConfig
