@@ -93,8 +93,12 @@ def _linearize(p: BAProblem):
     return r * m[:, None], Jc * m[:, None, None], Jl * m[:, None, None]
 
 
-def _schur_terms(p: BAProblem, r, Jc, Jl, damping):
-    """Assemble Hcc, gc, Hll, gl, W (dense over (K, L) blocks)."""
+def _sparse_terms(p: BAProblem, r, Jc, Jl, damping):
+    """Assemble block-diagonal Hcc/Hll, gradients, and PER-OBSERVATION
+    W blocks Wo (O, 6, 6). The (K, L, 6, 6) dense cross table of the first
+    design is never materialized: at the BASELINE 10k-tag scale it is ~GBs
+    and >99% structurally zero, while the observation list is exactly its
+    nonzero support (one tag seen once per keyframe)."""
     Kn = p.cam_R.shape[0]
     Ln = p.lm_R.shape[0]
     Hcc = jnp.zeros((Kn, 6, 6)).at[p.obs_kf].add(
@@ -103,48 +107,90 @@ def _schur_terms(p: BAProblem, r, Jc, Jl, damping):
     Hll = jnp.zeros((Ln, 6, 6)).at[p.obs_lm].add(
         jnp.einsum("oij,oik->ojk", Jl, Jl))
     gl = jnp.zeros((Ln, 6)).at[p.obs_lm].add(jnp.einsum("oij,oi->oj", Jl, r))
-    Wkl = jnp.zeros((Kn, Ln, 6, 6)).at[p.obs_kf, p.obs_lm].add(
-        jnp.einsum("oij,oik->ojk", Jc, Jl))
+    Wo = jnp.einsum("oij,oik->ojk", Jc, Jl)              # (O, 6, 6)
     eye = jnp.eye(6)
     Hcc = Hcc + damping * eye
     Hll = Hll + damping * eye
-    return Hcc, gc, Hll, gl, Wkl
+    return Hcc, gc, Hll, gl, Wo
 
 
-def gauss_newton_step(p: BAProblem, damping: float = 1e-4,
-                      fix_first_cam: bool = True
-                      ) -> tuple[BAProblem, jax.Array]:
-    """One damped GN step with Schur elimination. Returns (new, rms_error)."""
-    r, Jc, Jl = _linearize(p)
-    Hcc, gc, Hll, gl, Wkl = _schur_terms(p, r, Jc, Jl, damping)
-    Kn, Ln = Hcc.shape[0], Hll.shape[0]
+_GAUGE = 1e8  # prior stiffness pinning keyframe 0 (gauge freedom)
 
-    Hll_inv = jnp.linalg.inv(Hll)                        # (L, 6, 6)
-    # S = Hcc - W Hll^-1 W^T  (dense 6K x 6K; Hcc is block diagonal)
-    WHinv = jnp.einsum("klij,ljm->klim", Wkl, Hll_inv)   # (K, L, 6, 6)
-    S_off = jnp.einsum("klim,nljm->kinj", WHinv, Wkl)    # (K, 6, K, 6)
-    S = -S_off
-    S = S.at[jnp.arange(Kn), :, jnp.arange(Kn), :].add(Hcc)
-    b = gc - jnp.einsum("klim,lm->ki", WHinv, gl)        # (K, 6)
 
-    if fix_first_cam:
-        # Gauge freedom: pin keyframe 0 by a strong prior.
-        S = S.at[0, :, 0, :].add(1e8 * jnp.eye(6))
+def _solve_reduced(Hcc_tot, gc_tot, Hll, gl, Wo, obs_kf, obs_lm, *,
+                   fix_first_cam: bool, cg_iters: int, axis: str | None = None):
+    """Solve the Schur-reduced camera system S dx_c = -b MATRIX-FREE.
 
-    Sd = S.reshape(Kn * 6, Kn * 6)
-    dx_c = jnp.linalg.solve(Sd, -b.reshape(Kn * 6)).reshape(Kn, 6)
-    # back-substitute landmarks: Hll dx_l = -gl - W^T dx_c
-    rhs = -gl - jnp.einsum("klij,ki->lj", Wkl, dx_c)
-    dx_l = jnp.einsum("lij,lj->li", Hll_inv, rhs)
+    S = blockdiag(Hcc) - W Hll^-1 W^T is only ever applied to vectors:
+    every term is a per-observation gather/einsum/scatter over the sparse
+    observation list, so cost is O(O) per matvec independent of K*L.
+    Solved by preconditioned CG (block-Jacobi: Hcc block inverses).
+    With `axis`, the observation-sum terms are psum-reduced across the
+    landmark shards (Hcc_tot/gc_tot must already be reduced).
 
+    Returns (dx_c, Hll_inv).
+    """
+    Kn = Hcc_tot.shape[0]
+    Hll_inv = jnp.linalg.inv(Hll)                        # (L, 6, 6) local
+    gauge = jnp.zeros((Kn, 6, 6)).at[0].set(_GAUGE * jnp.eye(6)) \
+        if fix_first_cam else jnp.zeros((Kn, 6, 6))
+    Hcc_g = Hcc_tot + gauge
+
+    def psum(v):
+        return jax.lax.psum(v, axis) if axis is not None else v
+
+    def matvec(x):                                        # x (K, 6)
+        y = jnp.einsum("oij,oi->oj", Wo, x[obs_kf])       # W^T x per obs
+        z = jnp.zeros_like(gl).at[obs_lm].add(y)          # (L, 6)
+        z = jnp.einsum("lij,lj->li", Hll_inv, z)
+        u = jnp.einsum("oij,oj->oi", Wo, z[obs_lm])       # W z per obs
+        wsum = psum(jnp.zeros_like(x).at[obs_kf].add(u))  # (K, 6)
+        return jnp.einsum("kij,kj->ki", Hcc_g, x) - wsum
+
+    # b = gc - W Hll^-1 gl
+    ygl = jnp.einsum("lij,lj->li", Hll_inv, gl)
+    b = gc_tot - psum(jnp.zeros((Kn, 6)).at[obs_kf].add(
+        jnp.einsum("oij,oj->oi", Wo, ygl[obs_lm])))
+
+    Minv = jnp.linalg.inv(Hcc_g)                          # block-Jacobi
+
+    def precond(x):
+        return jnp.einsum("kij,kj->ki", Minv, x)
+
+    dx_c, _ = jax.scipy.sparse.linalg.cg(matvec, -b, M=precond,
+                                         maxiter=cg_iters, tol=1e-10)
+    return dx_c, Hll_inv
+
+
+def _apply_step(p: BAProblem, dx_c, dx_l) -> BAProblem:
     dRc, dtc = se3_exp(dx_c)
     dRl, dtl = se3_exp(dx_l)
-    new = p._replace(
+    return p._replace(
         cam_R=jnp.einsum("kij,kjm->kim", p.cam_R, dRc),
         cam_t=p.cam_t + jnp.einsum("kij,kj->ki", p.cam_R, dtc),
         lm_R=jnp.einsum("lij,ljm->lim", p.lm_R, dRl),
         lm_t=p.lm_t + jnp.einsum("lij,lj->li", p.lm_R, dtl),
     )
+
+
+def _back_substitute(Hll_inv, gl, Wo, obs_lm, obs_kf, dx_c):
+    """Hll dx_l = -gl - W^T dx_c, per-observation scatter (local shard)."""
+    y = jnp.einsum("oij,oi->oj", Wo, dx_c[obs_kf])        # (O, 6)
+    rhs = -gl - jnp.zeros_like(gl).at[obs_lm].add(y)
+    return jnp.einsum("lij,lj->li", Hll_inv, rhs)
+
+
+def gauss_newton_step(p: BAProblem, damping: float = 1e-4,
+                      fix_first_cam: bool = True, cg_iters: int = 64
+                      ) -> tuple[BAProblem, jax.Array]:
+    """One damped GN step with matrix-free Schur elimination."""
+    r, Jc, Jl = _linearize(p)
+    Hcc, gc, Hll, gl, Wo = _sparse_terms(p, r, Jc, Jl, damping)
+    dx_c, Hll_inv = _solve_reduced(Hcc, gc, Hll, gl, Wo, p.obs_kf, p.obs_lm,
+                                   fix_first_cam=fix_first_cam,
+                                   cg_iters=cg_iters)
+    dx_l = _back_substitute(Hll_inv, gl, Wo, p.obs_lm, p.obs_kf, dx_c)
+    new = _apply_step(p, dx_c, dx_l)
     nobs = jnp.maximum(jnp.sum(p.obs_valid), 1)
     rms = jnp.sqrt(jnp.sum(r * r) / (8.0 * nobs))
     return new, rms

@@ -20,48 +20,31 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ...utils.geometry import se3_exp
-from .ba import BAProblem, _linearize, _schur_terms
+from .ba import (BAProblem, _apply_step, _back_substitute, _linearize,
+                 _solve_reduced, _sparse_terms)
 
 
-def _local_step(p: BAProblem, damping, axis: str):
+def _local_step(p: BAProblem, damping, axis: str, cg_iters: int = 64):
     """Runs inside shard_map: p has LOCAL landmarks/observations,
-    REPLICATED cameras."""
+    REPLICATED cameras. The reduced camera system is solved matrix-free
+    (ba._solve_reduced): every CG matvec's observation sum is psum-reduced
+    over the landmark shards, so nothing larger than (K, 6) ever crosses
+    the mesh and no shard materializes a (K, L) coupling table."""
     r, Jc, Jl = _linearize(p)
-    Hcc, gc, Hll, gl, Wkl = _schur_terms(p, r, Jc, Jl, damping)
-    Kn = Hcc.shape[0]
+    Hcc, gc, Hll, gl, Wo = _sparse_terms(p, r, Jc, Jl, damping)
 
     # Hcc/gc accumulate per-shard (every obs contributes) -> psum.
     # NB damping*I was added per shard; renormalize after psum.
     nshards = jax.lax.psum(1, axis)
-    Hll_inv = jnp.linalg.inv(Hll)
-    WHinv = jnp.einsum("klij,ljm->klim", Wkl, Hll_inv)
-    S_local = jnp.einsum("klim,nljm->kinj", WHinv, Wkl)      # (K,6,K,6)
-    b_local = gc - jnp.einsum("klim,lm->ki", WHinv, gl)
-
-    Hcc_sum = jax.lax.psum(Hcc, axis)
-    S_off = jax.lax.psum(S_local, axis)
-    b = jax.lax.psum(b_local, axis)
-    # remove duplicated damping from the (nshards-1) extra copies
     extra = (nshards - 1) * damping
-    S = -S_off
-    S = S.at[jnp.arange(Kn), :, jnp.arange(Kn), :].add(
-        Hcc_sum - extra * jnp.eye(6))
-    S = S.at[0, :, 0, :].add(1e8 * jnp.eye(6))               # gauge prior
+    Hcc_sum = jax.lax.psum(Hcc, axis) - extra * jnp.eye(6)
+    gc_sum = jax.lax.psum(gc, axis)
 
-    dx_c = jnp.linalg.solve(S.reshape(Kn * 6, Kn * 6),
-                            -b.reshape(Kn * 6)).reshape(Kn, 6)
-    rhs = -gl - jnp.einsum("klij,ki->lj", Wkl, dx_c)
-    dx_l = jnp.einsum("lij,lj->li", Hll_inv, rhs)
-
-    dRc, dtc = se3_exp(dx_c)
-    dRl, dtl = se3_exp(dx_l)
-    new = p._replace(
-        cam_R=jnp.einsum("kij,kjm->kim", p.cam_R, dRc),
-        cam_t=p.cam_t + jnp.einsum("kij,kj->ki", p.cam_R, dtc),
-        lm_R=jnp.einsum("lij,ljm->lim", p.lm_R, dRl),
-        lm_t=p.lm_t + jnp.einsum("lij,lj->li", p.lm_R, dtl),
-    )
+    dx_c, Hll_inv = _solve_reduced(Hcc_sum, gc_sum, Hll, gl, Wo,
+                                   p.obs_kf, p.obs_lm, fix_first_cam=True,
+                                   cg_iters=cg_iters, axis=axis)
+    dx_l = _back_substitute(Hll_inv, gl, Wo, p.obs_lm, p.obs_kf, dx_c)
+    new = _apply_step(p, dx_c, dx_l)
     nobs = jnp.maximum(jax.lax.psum(jnp.sum(p.obs_valid), axis), 1)
     rms = jnp.sqrt(jax.lax.psum(jnp.sum(r * r), axis) / (8.0 * nobs))
     return new, rms

@@ -110,6 +110,41 @@ class TagMapper:
             tag_size=jnp.float32(self.tag_size),
         )
 
+    def save(self, path: str) -> None:
+        """Checkpoint the map (landmarks + keyframes + observations) as npz.
+
+        The reference has no persistent state (survey §5.4); this is the
+        recovery story for the SLAM layer: a crashed/restarted mapper
+        resumes from the last checkpoint and keeps accumulating.
+        """
+        O = len(self.obs)
+        obs_kf = np.array([o[0] for o in self.obs], np.int32)
+        obs_lm = np.array([o[1] for o in self.obs], np.int32)
+        obs_uv = (np.stack([o[2] for o in self.obs]).astype(np.float32)
+                  if O else np.zeros((0, 4, 2), np.float32))
+        np.savez_compressed(
+            path,
+            lm_ids=np.asarray(self.lm_ids, np.int64),
+            lm_R=(np.stack(self.lm_R) if self.lm_ids else np.zeros((0, 3, 3))),
+            lm_t=(np.stack(self.lm_t) if self.lm_ids else np.zeros((0, 3))),
+            kf_R=(np.stack(self.kf_R) if self.kf_R else np.zeros((0, 3, 3))),
+            kf_t=(np.stack(self.kf_t) if self.kf_R else np.zeros((0, 3))),
+            obs_kf=obs_kf, obs_lm=obs_lm, obs_uv=obs_uv,
+            K=self.K, tag_size=np.float64(self.tag_size))
+
+    def load(self, path: str) -> None:
+        """Restore state written by save(); replaces current contents."""
+        with np.load(path) as z:
+            self.lm_ids = [int(i) for i in z["lm_ids"]]
+            self.lm_R = [r for r in z["lm_R"]]
+            self.lm_t = [t for t in z["lm_t"]]
+            self.kf_R = [r for r in z["kf_R"]]
+            self.kf_t = [t for t in z["kf_t"]]
+            self.obs = [(int(k), int(l), uv) for k, l, uv in
+                        zip(z["obs_kf"], z["obs_lm"], z["obs_uv"])]
+            self.K = z["K"]
+            self.tag_size = float(z["tag_size"])
+
     def update_from_problem(self, p: BAProblem) -> None:
         self.kf_R = [np.asarray(r) for r in np.asarray(p.cam_R)]
         self.kf_t = [np.asarray(t) for t in np.asarray(p.cam_t)]
