@@ -49,6 +49,11 @@ class GraphPipeline:
         self._detect = build_detect_fn(config, self.detect_camera, "mono8")
         self._jitted = jax.jit(self._run)
 
+    @property
+    def fn(self):
+        """The pure (unjitted) pipeline function, for composition (vmap/pjit)."""
+        return self._run
+
     def _run(self, image: jax.Array) -> tuple[Detections, FrameStats]:
         gray = grayscale(image, self.encoding)
         if self._grid is not None:
