@@ -43,15 +43,18 @@ def _scene(H, W, noise=2.0):
 
 
 def _throughput(fn, x, iters, valid_ref):
-    import jax
-
+    # NB: jax.block_until_ready does NOT synchronize on the tunneled axon
+    # platform (measured: an 8k^3 matmul "finishes" in 63 us). Every timing
+    # loop here forces a true host readback of a scalar each iteration —
+    # device execution is in-order, so the readback bounds all queued work —
+    # and deep async queues are avoided entirely (they degrade ~30x on the
+    # relay).
     det, stats = fn(x)  # compile + warmup
-    jax.block_until_ready(det.valid)
     n_det = int(np.asarray(stats.num_detections).sum())
     t0 = time.perf_counter()
     for _ in range(iters):
         det, stats = fn(x)
-    jax.block_until_ready(det.valid)
+        np.asarray(det.valid)   # host readback = true sync point
     dt = time.perf_counter() - t0
     return dt, n_det
 
@@ -84,11 +87,11 @@ def _stage_table(cam, frame, cfg, iters):
     def timeit(name, fn, *args):
         fn = jax.jit(fn)
         out = fn(*args)
-        jax.block_until_ready(out)
+        np.asarray(jax.tree.leaves(out)[0])  # sync (see _throughput note)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        jax.block_until_ready(out)
+            np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
         table[name] = round(1000 * (time.perf_counter() - t0) / iters, 3)
         return out
 
@@ -105,7 +108,8 @@ def _stage_table(cam, frame, cfg, iters):
             t, cfg.ccl_rounds, cfg.ccl_jumps, cfg.ccl_jump_every), tri)
     sizes = timeit("component_sizes", component_sizes, lab)
     mom = timeit("cluster_moments", lambda t, l, s: extract_cluster_moments(
-        t, l, s, max_clusters=cfg.max_clusters,
+        t, l, s, max_edge_points=cfg.max_edge_points,
+        max_clusters=cfg.max_clusters,
         min_component_pixels=cfg.min_component_pixels,
         min_cluster_pixels=cfg.min_cluster_pixels), tri, lab, sizes)
     quads = timeit("quadfit", lambda m: fit_quads_from_moments(
@@ -170,11 +174,11 @@ def main():
         gp = GraphPipeline(cfg, cam, encoding="mono8")
         gfn = jax.jit(jax.vmap(gp.fn))
         gdet, _ = gfn(x)
-        jax.block_until_ready(gdet.valid)
+        np.asarray(gdet.valid)
         t0 = time.perf_counter()
         for _ in range(ITERS):
             gdet, _ = gfn(x)
-        jax.block_until_ready(gdet.valid)
+            np.asarray(gdet.valid)
         detail["graph_fps"] = round(BATCH * ITERS / (time.perf_counter() - t0), 1)
 
     # --- per-stage breakdown ----------------------------------------------

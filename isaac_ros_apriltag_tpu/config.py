@@ -50,7 +50,7 @@ class DetectorConfig:
     # TPU pipeline capacities (all static; data-dependent counts are handled
     # with validity masks, same tradeoff as the reference's max_tags arrays,
     # ref: apriltag_node.cpp:285-289).
-    max_edge_points: int = 1 << 17   # compacted boundary points per frame
+    max_edge_points: int = 1 << 18   # compacted boundary points per frame
     max_clusters: int = 128          # candidate boundary clusters kept
     max_cluster_points: int = 1024   # points retained per cluster
     # CCL iteration: scan rounds are ~0.3 ms each in the Pallas backend while

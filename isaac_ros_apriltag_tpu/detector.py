@@ -120,6 +120,7 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
         sizes = jax.lax.optimization_barrier(sizes)
         clusters = extract_cluster_moments(
             trinary, label, sizes,
+            max_edge_points=cfg.max_edge_points,
             max_clusters=cfg.max_clusters,
             min_component_pixels=cfg.min_component_pixels,
             min_cluster_pixels=cfg.min_cluster_pixels)
@@ -201,9 +202,7 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
             num_clusters=clusters.num_clusters,
             num_quads=n_quads,
             num_detections=jnp.sum(sel_valid.astype(jnp.int32)),
-            # The sort-free moment pipeline has no edge-point capacity, so no
-            # decimation ever applies (kept for FrameStats schema stability).
-            edge_stride=jnp.ones((), jnp.int32),
+            edge_stride=clusters.edge_stride,
             # clusters.overflow covers hash-probe exhaustion and
             # eligible-cluster truncation (num_eligible > max_clusters, NOT
             # raw segment count — sub-threshold segments never get slots);

@@ -1,31 +1,37 @@
-"""Sort-free boundary clustering: trinary+labels -> per-cluster angular moments.
+"""Sort-centric boundary clustering: trinary+labels -> per-cluster angular
+moments.
 
 AprilTag 3 buckets black/white neighbor-pair midpoints by (black component,
 white component) key, then fits each cluster's quad from an angular sweep of
-its points. The round-2 TPU formulation materialized point lists per cluster,
-which required a 131k-element multi-operand `jax.lax.sort` plus several large
-scatters — the measured hot spot of the whole detector.
+its points. Quad fitting only ever consumes ANGULAR-BIN MOMENT SUMS
+(ops/quadfit.py), which are order-free reductions — so the clustering stage
+is formulated entirely in the primitives this TPU executes at full vector
+speed, measured on hardware (tools/profile_microops.py, RTT-corrected):
 
-This module removes the sort (and the point lists) entirely: quad fitting
-only ever consumes ANGULAR-BIN MOMENT SUMS (ops/quadfit.py), and moments are
-order-free, so clusters never need to be contiguous. The pipeline is three
-scatter/gather passes over the dense pair grid, all into small tables:
+  - `jax.lax.sort` is FAST (2M x 3-operand ~2.7 ms; 131k multi-operand
+    ~0.2 ms) — it is the data-movement primitive of choice;
+  - cumsum / associative_scan over 131k-2M: ~0.1-0.4 ms;
+  - per-element gather/scatter is SERIAL (~7 ns/element, 15 ms per 2M pass)
+    — the hash-table formulation this file replaces spent 389 ms/frame in
+    exactly those passes.
 
-  1. key -> slot assignment by multi-probe hashing: 3 rounds of
-     scatter-min(key) into 2^16-entry tables with exact key verification —
-     collisions are detected (not merged) and losers re-probe the next table;
-     the probability of a real cluster losing all 3 probes is ~1e-9.
-  2. per-slot first/second moments + gradient sums (scatter-add) give each
-     cluster's centroid, scale and polarity; slots are gated by point count
-     and the top `max_clusters` survive (same gates as AprilTag's
-     min_cluster_pixels / perimeter bound).
-  3. per-pair angular binning about the owning cluster's centroid
-     (diamond-angle, no arctan), with normalized-coordinate moment sums
-     scattered into the (max_clusters, NBINS) tables quadfit consumes.
+Pipeline (no per-pair gathers or scatters anywhere):
 
-Unlike the round-2 path there is NO point-capacity decimation anywhere:
-every boundary point contributes to the fit (the fixed-capacity (C, P) point
-buffer and its stride decimation are gone along with the sort).
+  1. dense component relabel folding in AprilTag's component-area gate
+     (one gather + cumsum), then dense pair generation over 4 neighbor
+     offsets (elementwise); on overflow of the pair budget E the stream is
+     hash-decimated (uniform spatial subsample, not scan-order truncation);
+  2. ONE sort of the full pair stream by the packed (black, white) dense-id
+     key compacts valid pairs AND groups clusters contiguously;
+  3. segment stats (count, centroid, scale, gradient polarity) via
+     segmented scans — totals broadcast back to members by a reverse
+     copy-scan, so per-pair centroid access needs no gather;
+  4. top-`max_clusters` segments by size (one top_k), slot ids broadcast
+     to members by a forward copy-scan;
+  5. per-pair diamond-angle bin about the cluster centroid (elementwise,
+     no arctan) and a SECOND sort by (slot*K + bin) groups (cluster, bin)
+     cells; segmented scans give per-cell moment sums, compacted by a
+     third small sort and scattered into the tiny (C*K, 6) table.
 
 The reference runs its equivalent inside closed CUDA binaries (ref:
 isaac_ros_apriltag/src/apriltag_node.cpp:491-493, :290-293).
@@ -41,8 +47,6 @@ import jax.numpy as jnp
 _I32MAX = jnp.iinfo(jnp.int32).max
 _KBITS = 15                  # dense component ids: [0, 2^15); key fits int32
 _KMAX = (1 << _KBITS) - 1    # sentinel dense id for ineligible components
-_SLOT_BITS = 16              # per-probe hash table size
-_NPROBE = 3
 NBINS = 64                   # angular bins (matches ops/quadfit.py)
 
 # Neighbor offsets (dx, dy), matching AprilTag 3's gradient_clusters scan
@@ -61,16 +65,17 @@ class ClusterMoments(NamedTuple):
     bxy: jax.Array    # sum sx*sy
     byy: jax.Array    # sum sy*sy
     # per-cluster scalars:
-    count: jax.Array       # (C,) int32 total boundary points
+    count: jax.Array       # (C,) int32 boundary points (post-decimation)
     centroid: jax.Array    # (C, 2) float32 pixel coords
     scale: jax.Array       # (C,) float32 sqrt(mean r^2) in pixels
     dark_inside: jax.Array  # (C,) bool — quad interior darker than outside
     valid: jax.Array       # (C,) bool — slot holds a gated cluster
     # frame stats:
-    num_clusters: jax.Array     # () int32 distinct keys found (approx: slots used)
-    num_eligible: jax.Array     # () int32 slots passing the size gates
-    num_edge_points: jax.Array  # () int32 boundary points in frame
-    overflow: jax.Array         # () bool — hashing or top-C capacity exceeded
+    num_clusters: jax.Array     # () int32 distinct (black, white) keys kept
+    num_eligible: jax.Array     # () int32 segments passing the size gates
+    num_edge_points: jax.Array  # () int32 boundary points in frame (pre-cap)
+    edge_stride: jax.Array      # () int32 hash-decimation stride (1 = none)
+    overflow: jax.Array         # () bool — a capacity was exceeded
 
 
 def _shift(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
@@ -89,10 +94,10 @@ def _shift(x: jax.Array, dy: int, dx: int, fill) -> jax.Array:
 def _diamond_bin(dx: jax.Array, dy: jax.Array, nbins: int) -> jax.Array:
     """Monotone circular angle surrogate -> bin id in [0, nbins).
 
-    Diamond angle t in [0, 4): piecewise-linear in (dx, dy), strictly monotone
-    in true angle, no transcendentals. Quad fitting only needs a monotone
-    circular parameterization (corners are error maxima; arcs are bin ranges),
-    not uniform angular widths.
+    Diamond angle t in [0, 4): piecewise-linear in (dx, dy), strictly
+    monotone in true angle, no transcendentals. Quad fitting only needs a
+    monotone circular parameterization (corners are error maxima; arcs are
+    bin ranges), not uniform angular widths.
     """
     ax = jnp.abs(dx)
     ay = jnp.abs(dy)
@@ -103,32 +108,52 @@ def _diamond_bin(dx: jax.Array, dy: jax.Array, nbins: int) -> jax.Array:
     return jnp.clip((t * (nbins / 4.0)).astype(jnp.int32), 0, nbins - 1)
 
 
+def _seg_scan(vals, first, op):
+    """Inclusive segmented associative scan along axis 0.
+
+    first: (E, 1) bool — True starts a new segment. op combines values
+    within a segment (classic segmented-scan semiring: a segment-start on
+    the right wins outright)."""
+    def comb(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, op(va, vb)), fa | fb
+
+    out, _ = jax.lax.associative_scan(comb, (vals, first), axis=0)
+    return out
+
+
 def extract_cluster_moments(trinary: jax.Array, label: jax.Array,
-                            sizes: jax.Array, *, max_clusters: int,
-                            min_component_pixels: int,
+                            sizes: jax.Array, *, max_edge_points: int,
+                            max_clusters: int, min_component_pixels: int,
                             min_cluster_pixels: int) -> ClusterMoments:
     H, W = trinary.shape
-    C = max_clusters
-    K = NBINS
-    S = 1 << _SLOT_BITS
+    E, C, K = max_edge_points, max_clusters, NBINS
     if not (2 * W < (1 << 12) and 2 * H < (1 << 12)):
         raise ValueError(
             "packed coords support segmentation images up to 2047x2047; "
             f"got {H}x{W} — use quad_decimate for larger frames")
 
-    # --- dense component relabel (folds in the size gate) ------------------
+    # --- dense component relabel (folds in AprilTag's area gate) ------------
+    # Pairs join the stream only when BOTH components have pixel area >=
+    # min_component_pixels (AprilTag 3's same rule). This is load-bearing
+    # under sensor noise: ungated speckle pairs inflate the stream several
+    # fold, drive the overflow stride up, and crush real tag clusters into
+    # the noise-count range (measured: 673k vs ~200k pairs at noisy 1080p).
+    # One (H*W,) gather + cumsum; everything downstream stays per-pair
+    # gather-free.
     flat_label = label.reshape(-1)
     idx = jnp.arange(H * W, dtype=jnp.int32)
     is_root = flat_label == idx
-    eligible = is_root & (sizes >= min_component_pixels)
-    rank = jnp.cumsum(eligible.astype(jnp.int32)) - 1
+    eligible_c = is_root & (sizes >= min_component_pixels)
+    rank = jnp.cumsum(eligible_c.astype(jnp.int32)) - 1
     n_comps = rank[-1] + 1
-    dense_of_root = jnp.where(eligible & (rank < _KMAX), rank, _KMAX)
+    dense_of_root = jnp.where(eligible_c & (rank < _KMAX), rank, _KMAX)
     dense = dense_of_root[flat_label].reshape(H, W)     # one (H*W,) gather
     comp_overflow = n_comps > _KMAX
 
-    # --- dense pair generation (4 offsets) ---------------------------------
-    key_all, x2_all, y2_all, g_all, m_all = [], [], [], [], []
+    # --- dense pair generation (4 offsets), elementwise ---------------------
+    key_all, pay_all, m_all = [], [], []
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     for dx, dy in _OFFSETS:
@@ -140,102 +165,134 @@ def extract_cluster_moments(trinary: jax.Array, label: jax.Array,
         db = jnp.where(p_black, d0, d1)
         dw = jnp.where(p_black, d1, d0)
         m = pair & (db != _KMAX) & (dw != _KMAX)
-        # doubled coords: midpoint of the pair in half-pixel units
-        x2_all.append(2 * xs + dx)
-        y2_all.append(2 * ys + dy)
-        # gradient points black -> white along the offset
+        # doubled coords: midpoint of the pair in half-pixel units; gradient
+        # points black -> white along the offset. Packed into one int32.
         sgn = jnp.where(p_black, jnp.int32(1), jnp.int32(-1))
-        g_all.append((dx * sgn + 1) | ((dy * sgn + 1) << 2))
+        g = (dx * sgn + 1) | ((dy * sgn + 1) << 2)
         key_all.append(jnp.where(m, (db << _KBITS) | dw, _I32MAX))
+        pay_all.append((2 * xs + dx) | ((2 * ys + dy) << 12) | (g << 24))
         m_all.append(m)
 
-    key = jnp.stack(key_all).reshape(-1)                 # (4*H*W,)
+    key = jnp.stack(key_all).reshape(-1)
+    pay = jnp.stack(pay_all).reshape(-1)
     mask = jnp.stack(m_all).reshape(-1)
-    x2 = jnp.stack(x2_all).reshape(-1).astype(jnp.float32)
-    y2 = jnp.stack(y2_all).reshape(-1).astype(jnp.float32)
-    gpack = jnp.stack(g_all).reshape(-1)
-    key, mask, x2, y2, gpack = jax.lax.optimization_barrier(
-        (key, mask, x2, y2, gpack))
+    key, pay, mask = jax.lax.optimization_barrier((key, pay, mask))
+
+    # --- overflow decimation (hash gate, uniform spatial subsample) ---------
     num_edge = jnp.sum(mask.astype(jnp.int32))
+    stride = jnp.maximum((num_edge + E - 1) // E, 1)
+    # Multiplicative hash, HIGH bits: the low bits of pay*odd are not mixed
+    # (bit 0 of the product equals bit 0 of pay = dx!), so `% stride` on the
+    # raw product would decimate by edge ORIENTATION, deleting two whole
+    # sides of every axis-aligned quad at stride 2.
+    pay_hash = ((pay * jnp.int32(-1640531527)) >> 15) & jnp.int32(0xFFFF)
+    keep = mask & (pay_hash % stride == 0)
 
-    # --- multi-probe hash: key -> slot in [0, NPROBE*S) --------------------
-    slot = jnp.full(key.shape, _NPROBE * S, jnp.int32)   # sentinel = overflow row
-    live = mask
-    lost = jnp.zeros((), jnp.int32)
-    salts = (jnp.int32(-1640531527), jnp.int32(-1028477387), jnp.int32(373587883))
-    for p in range(_NPROBE):
-        h = ((key * salts[p]) >> 13) & (S - 1)
-        h = jnp.where(live, h, S)                        # parked in scratch row
-        tbl = jnp.full((S + 1,), _I32MAX, jnp.int32).at[h].min(key)
-        won = live & (tbl[h] == key)
-        slot = jnp.where(won, p * S + h, slot)
-        live = live & ~won
-    overflow_hash = jnp.sum(live.astype(jnp.int32)) > 0
-    ST = _NPROBE * S
+    # --- sort 1: group by (black, white) dense-id pair (single int32 key) ---
+    key_s = jnp.where(keep, key, _I32MAX)
+    key_s, pay_s = jax.lax.sort((key_s, pay), num_keys=1)
+    key_s, pay_s = key_s[:E], pay_s[:E]
+    valid = key_s != _I32MAX
 
-    # --- pass 1: per-slot zeroth/first/second moments + gradient sums ------
-    # (pixel coords = doubled/2; use doubled ints, convert after summing)
-    w = mask.astype(jnp.float32)
-    gx = ((gpack & 0x3) - 1).astype(jnp.float32) * w
-    gy = (((gpack >> 2) & 0x3) - 1).astype(jnp.float32) * w
-    x = x2 * 0.5
-    y = y2 * 0.5
-    fields1 = (w, x * w, y * w, (x * x + y * y) * w,
-               gx, gy, x * gx + y * gy)
-    t1 = [jnp.zeros((ST + 1,), jnp.float32).at[slot].add(f)[:ST]
-          for f in fields1]
-    cnt, sx_, sy_, sr2, sgx, sgy, sxg = t1
-    cnt_i = cnt.astype(jnp.int32)
+    prev_key = jnp.concatenate([jnp.full((1,), -1, jnp.int32), key_s[:-1]])
+    first = valid & (key_s != prev_key)
+    first1 = first[:, None]
 
-    # --- gate + top-C slot selection ---------------------------------------
+    # --- per-pair fields (elementwise unpack) -------------------------------
+    x = (pay_s & 0xFFF).astype(jnp.float32) * 0.5
+    y = ((pay_s >> 12) & 0xFFF).astype(jnp.float32) * 0.5
+    gp = pay_s >> 24
+    gx = ((gp & 0x3) - 1).astype(jnp.float32)
+    gy = (((gp >> 2) & 0x3) - 1).astype(jnp.float32)
+    w = valid.astype(jnp.float32)
+    F1 = jnp.stack([w, x * w, y * w, (x * x + y * y) * w,
+                    gx * w, gy * w, (x * gx + y * gy) * w], -1)   # (E, 7)
+
+    # --- segment totals broadcast to every member (scan + reverse copy) -----
+    run = _seg_scan(F1, first1, lambda a, b: a + b)               # (E, 7)
+    nxt_first = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
+    nxt_valid = jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
+    is_last = valid & (nxt_first | ~nxt_valid)
+    tot_at_last = jnp.where(is_last[:, None], run, 0.0)
+    # reverse copy-scan: every member sees its segment's total (the carry op
+    # keeps the value seeded at the segment's is_last position)
+    tot = jnp.flip(_seg_scan(jnp.flip(tot_at_last, 0),
+                             jnp.flip(is_last, 0)[:, None],
+                             lambda a, b: a), 0)                  # (E, 7)
+    cnt_p = jnp.maximum(tot[:, 0], 1.0)
+    cx_p = tot[:, 1] / cnt_p
+    cy_p = tot[:, 2] / cnt_p
+
+    # --- top-C segments by size (gates in true-pixel units) -----------------
     max_perimeter = 2 * (2 * W + 2 * H)
-    slot_used = cnt_i > 0
-    eligible_slot = (cnt_i >= min_cluster_pixels) & (cnt_i <= max_perimeter)
-    n_used = jnp.sum(slot_used.astype(jnp.int32))
-    n_eligible = jnp.sum(eligible_slot.astype(jnp.int32))
-    gated = jnp.where(eligible_slot, cnt_i, 0)
-    top_sizes, top_slots = jax.lax.top_k(gated, C)       # over 3*S entries
+    count_at_start = jnp.where(first, tot[:, 0], 0.0).astype(jnp.int32)
+    true_size = count_at_start * stride
+    eligible = (true_size >= min_cluster_pixels) & (true_size <= max_perimeter)
+    gated = jnp.where(eligible, count_at_start, 0)
+    top_sizes, top_pos = jax.lax.top_k(gated, C)                  # over (E,)
     cvalid = top_sizes > 0
-    cluster_of_slot = jnp.full((ST + 1,), -1, jnp.int32).at[
-        jnp.where(cvalid, top_slots, ST)].set(jnp.arange(C, dtype=jnp.int32))
 
-    # per-cluster stats (gather from slot tables)
-    g = lambda t: t[top_slots]
-    ccnt = jnp.where(cvalid, g(cnt), 0.0)
+    # per-cluster scalars (C-sized gathers: trivial)
+    ctot = tot[top_pos]                                           # (C, 7)
+    ccnt = jnp.where(cvalid, ctot[:, 0], 0.0)
     safe = jnp.maximum(ccnt, 1.0)
-    cx = g(sx_) / safe
-    cy = g(sy_) / safe
-    # mean r^2 about centroid = E[x^2+y^2] - cx^2 - cy^2
-    r2m = g(sr2) / safe - cx * cx - cy * cy
+    ccx = ctot[:, 1] / safe
+    ccy = ctot[:, 2] / safe
+    r2m = ctot[:, 3] / safe - ccx * ccx - ccy * ccy
     cscale = jnp.sqrt(jnp.maximum(r2m, 1e-12))
-    # outward gradient (black->white): positive mean radial dot => dark inside
-    mean_dot = (g(sxg) - cx * g(sgx) - cy * g(sgy)) / safe
+    mean_dot = (ctot[:, 6] - ccx * ctot[:, 4] - ccy * ctot[:, 5]) / safe
     dark = mean_dot > 0
 
-    # --- pass 2: angular-bin moments in normalized coords ------------------
-    cid = cluster_of_slot[jnp.minimum(slot, ST)]         # (N,) in [-1, C)
-    ok = mask & (cid >= 0)
-    pcx = cx[jnp.maximum(cid, 0)]
-    pcy = cy[jnp.maximum(cid, 0)]
-    pscale = jnp.maximum(cscale[jnp.maximum(cid, 0)], 1e-6)
-    dxp = x - pcx
-    dyp = y - pcy
-    sxn = dxp / pscale
-    syn = dyp / pscale
-    bins = _diamond_bin(dxp, dyp, K)
-    dest = jnp.where(ok, cid * K + bins, C * K)
-    wv = ok.astype(jnp.float32)
-    fields2 = (wv, sxn * wv, syn * wv, sxn * sxn * wv, sxn * syn * wv,
-               syn * syn * wv)
-    t2 = [jnp.zeros((C * K + 1,), jnp.float32).at[dest].add(f)[:C * K]
-          .reshape(C, K) for f in fields2]
-    bw, bx, by, bxx, bxy, byy = t2
+    # --- slot ids broadcast to members (C-scatter + forward copy-scan) ------
+    slot_seed = jnp.full((E + 1,), -1, jnp.int32).at[
+        jnp.where(cvalid, top_pos, E)].set(jnp.arange(C, dtype=jnp.int32))[:E]
+    slot = _seg_scan(slot_seed[:, None], first1, lambda a, b: a)[:, 0]
 
+    # --- per-pair normalized coords + angular bin ---------------------------
+    dxp = x - cx_p
+    dyp = y - cy_p
+    r2_p = jnp.maximum(tot[:, 3] / cnt_p - cx_p * cx_p - cy_p * cy_p, 1e-12)
+    inv_scale = jax.lax.rsqrt(r2_p)
+    sxn = dxp * inv_scale
+    syn = dyp * inv_scale
+    bins = _diamond_bin(dxp, dyp, K)
+
+    # --- sort 2: group (cluster, bin) cells ---------------------------------
+    key2 = jnp.where(valid & (slot >= 0), slot * K + bins, _I32MAX)
+    wv = (key2 != _I32MAX).astype(jnp.float32)
+    key2, o_w, o_x, o_y, o_xx, o_xy, o_yy = jax.lax.sort(
+        (key2, wv, sxn * wv, syn * wv, sxn * sxn * wv, sxn * syn * wv,
+         syn * syn * wv), num_keys=1)
+    F2 = jnp.stack([o_w, o_x, o_y, o_xx, o_xy, o_yy], -1)         # (E, 6)
+    v2 = key2 != _I32MAX
+    prev_k2 = jnp.concatenate([jnp.full((1,), -1, jnp.int32), key2[:-1]])
+    first2 = v2 & (key2 != prev_k2)
+    run2 = _seg_scan(F2, first2[:, None], lambda a, b: a + b)
+    nxt_first2 = jnp.concatenate([first2[1:], jnp.ones((1,), bool)])
+    nxt_v2 = jnp.concatenate([v2[1:], jnp.zeros((1,), bool)])
+    last2 = v2 & (nxt_first2 | ~nxt_v2)
+
+    # --- sort 3: compact the <= C*K cell totals, then tiny scatter ----------
+    cell_key = jnp.where(last2, key2, _I32MAX)
+    cell_key, c_w, c_x, c_y, c_xx, c_xy, c_yy = jax.lax.sort(
+        (cell_key, run2[:, 0], run2[:, 1], run2[:, 2], run2[:, 3],
+         run2[:, 4], run2[:, 5]), num_keys=1)
+    CK = C * K
+    cell_key = cell_key[:CK]
+    dest = jnp.where(cell_key != _I32MAX, cell_key, CK)
+    tables = []
+    for fld in (c_w, c_x, c_y, c_xx, c_xy, c_yy):
+        tables.append(jnp.zeros((CK + 1,), jnp.float32)
+                      .at[dest].set(fld[:CK])[:CK].reshape(C, K))
+    bw, bx, by, bxx, bxy, byy = tables
+
+    n_clusters = jnp.sum(first.astype(jnp.int32))
+    n_eligible = jnp.sum(eligible.astype(jnp.int32))
     return ClusterMoments(
         bw=bw, bx=bx, by=by, bxx=bxx, bxy=bxy, byy=byy,
         count=ccnt.astype(jnp.int32),
-        centroid=jnp.stack([cx, cy], -1),
+        centroid=jnp.stack([ccx, ccy], -1),
         scale=cscale, dark_inside=dark, valid=cvalid,
-        num_clusters=n_used, num_eligible=n_eligible,
-        num_edge_points=num_edge,
-        overflow=comp_overflow | overflow_hash | (n_eligible > C))
+        num_clusters=n_clusters, num_eligible=n_eligible,
+        num_edge_points=num_edge, edge_stride=stride,
+        overflow=(num_edge > E) | comp_overflow | (n_eligible > C))

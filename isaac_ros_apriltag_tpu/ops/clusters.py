@@ -123,7 +123,10 @@ def extract_clusters(trinary: jax.Array, label: jax.Array, sizes: jax.Array,
     # A hash gate is a uniform spatial subsample of each cluster.
     num_edge = jnp.sum(mask.astype(jnp.int32))
     stride = jnp.maximum((num_edge + E - 1) // E, 1)
-    pay_hash = (pay * jnp.int32(-1640531527)) & jnp.int32(0x7FFFFFFF)
+    # High bits of the multiplicative hash: the product's low bits are not
+    # mixed (bit 0 equals bit 0 of pay = dx), and a raw `% stride` would
+    # decimate by edge orientation.
+    pay_hash = ((pay * jnp.int32(-1640531527)) >> 15) & jnp.int32(0xFFFF)
     keep = mask & (pay_hash % stride == 0)
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     dest = jnp.where(keep & (pos < E), pos, E)

@@ -18,9 +18,9 @@ import jax.numpy as jnp
 
 from ..utils.geometry import line_intersection
 
-_NSAMPLES = 16      # points sampled along each edge
-_STEP = 0.25        # offset step, px
-_GRANGE = 1.0       # gradient baseline half-distance, px
+_NSAMPLES = 12      # points sampled along each edge
+_STEP = 0.5         # offset step, px (profile resolution)
+_GRANGE = 1.0       # gradient baseline half-distance, px (= 2 profile steps)
 
 
 def _bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
@@ -71,14 +71,20 @@ def refine_edges(gray: jax.Array, corners: jax.Array,
     pts = p0[:, :, None, :] + alphas[None, None, :, None] * (p1 - p0)[:, :, None, :]
     # (C, 4, S, 2)
 
-    offs = jnp.arange(-search_range, search_range + _STEP / 2, _STEP)  # (O,)
-    nO = offs.shape[0]
-    base = pts[:, :, :, None, :] + offs[None, None, None, :, None] * n[:, :, None, None, :]
-    # (C, 4, S, O, 2)
-    inner = base + _GRANGE * n[:, :, None, None, :]
-    outer = base - _GRANGE * n[:, :, None, None, :]
-    g_in = _bilinear(gray, inner[..., 0], inner[..., 1])         # (C, 4, S, O)
-    g_out = _bilinear(gray, outer[..., 0], outer[..., 1])
+    # ONE intensity profile per sample point along the normal; the gradient
+    # pair at offset o is the profile differenced at +-_GRANGE (2 steps), so
+    # taps are shared across offsets instead of re-sampled per (offset, side)
+    # — a ~4x cut in bilinear gathers, the measured cost center on TPU
+    # (~7 ns/element serialized gather; tools/profile_microops.py).
+    pad = int(round(_GRANGE / _STEP))                            # steps
+    prof_offs = jnp.arange(-search_range - _GRANGE,
+                           search_range + _GRANGE + _STEP / 2, _STEP)
+    base = (pts[:, :, :, None, :]
+            + prof_offs[None, None, None, :, None] * n[:, :, None, None, :])
+    prof = _bilinear(gray, base[..., 0], base[..., 1])           # (C, 4, S, P)
+    g_in = prof[..., 2 * pad:]                                   # offset + GRANGE
+    g_out = prof[..., :prof.shape[-1] - 2 * pad]                 # offset - GRANGE
+    offs = prof_offs[pad:-pad]                                   # (O,)
 
     # Expected polarity: inward darker for dark-interior quads.
     diff = jnp.where(dark_inside[:, None, None, None], g_out - g_in,

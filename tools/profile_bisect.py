@@ -75,7 +75,8 @@ def chain(n):
             return sizes
         from isaac_ros_apriltag_tpu.ops.cluster_moments import extract_cluster_moments
         clusters = extract_cluster_moments(
-            trinary, label, sizes, max_clusters=cfg.max_clusters,
+            trinary, label, sizes, max_edge_points=cfg.max_edge_points,
+            max_clusters=cfg.max_clusters,
             min_component_pixels=cfg.min_component_pixels,
             min_cluster_pixels=cfg.min_cluster_pixels)
         clusters = jax.lax.optimization_barrier(clusters)
@@ -100,17 +101,25 @@ def chain(n):
 prev = 0.0
 names = ["threshold", "ccl", "sizes", "clusters", "quadfit", "refine",
          "decode", "pose"]
+def _sync(out):
+    # jax.block_until_ready does not synchronize on the tunneled axon
+    # platform; a host readback of one element is the true sync point
+    # (slice ON DEVICE first — a full-leaf transfer would swamp the timing).
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf.ravel()[:1])
+
+
 for n in range(1, 9):
     fn = jax.jit(chain(n))
     t0 = time.perf_counter()
     out = fn(gray0)
-    jax.block_until_ready(out)
+    _sync(out)
     tc = time.perf_counter() - t0
     iters = 5
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(gray0)
-    jax.block_until_ready(out)
+        _sync(out)
     dt = (time.perf_counter() - t0) / iters
     print(f"prefix {n} (+{names[n-1]:10s}): {1000*dt:9.2f} ms "
           f"(marginal {1000*(dt-prev):+9.2f} ms, compile {tc:.0f}s)", flush=True)
