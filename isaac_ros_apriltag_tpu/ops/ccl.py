@@ -68,7 +68,8 @@ _DIAGONALS = ((1, 1), (1, -1), (-1, 1), (-1, -1))
 
 
 def connected_components(trinary: jax.Array, rounds: int = 6, jumps: int = 2,
-                         jump_every: int = 1) -> jax.Array:
+                         jump_every: int = 1,
+                         label0: jax.Array | None = None) -> jax.Array:
     """(H, W) uint8 trinary {0,127,255} -> (H, W) int32 component labels.
 
     Valid pixels get the min linear index of their component; 127 pixels keep
@@ -78,9 +79,15 @@ def connected_components(trinary: jax.Array, rounds: int = 6, jumps: int = 2,
     (round+1) % jump_every == 0 (jumping is what converges snake-like
     percolation-noise components, but each pass is a full-image gather —
     the most expensive op in the loop — so it is rationed).
+
+    `label0` overrides the initial label field (used by the spatial-sharded
+    CCL, whose labels are GLOBAL flat indices and whose shards re-enter this
+    function between halo exchanges; jumps must be 0 in that mode — label
+    values then point outside the local gather table).
     """
     H, W = trinary.shape
-    idx = jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+    idx = (jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
+           if label0 is None else label0)
     valid = trinary != 127
 
     # Run boundaries: a pixel disconnects from its predecessor when either is

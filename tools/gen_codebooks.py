@@ -10,6 +10,17 @@ Dev-time only (imports cv2). Two sources:
    design Hamming distance (see families.py docstring for why the official
    tables are unavailable offline).
 
+Provenance findings (verified in tests/test_codebooks.py): in AprilTag's
+canonical orientation (cv2 bitmaps rotated 180 deg) all four published
+tables are ordered subsequences of the arithmetic progression with stride
+982451653 mod 2^nbits — the AprilTag generator's "lottery" candidate
+sequence. Reproducing the five flexible tables bit-exactly would require
+replaying the full published generation runs (candidate spaces 2^41..2^52,
+originally cluster-scale compute) plus the generator's undocumented
+complexity predicate; neither is feasible offline, hence the
+self-consistent stand-ins + the `register_family` escape hatch for users
+who vendor the published tables.
+
 Run:  python tools/gen_codebooks.py
 """
 
