@@ -128,7 +128,10 @@ def extract_cluster_moments(trinary: jax.Array, label: jax.Array,
                             max_clusters: int, min_component_pixels: int,
                             min_cluster_pixels: int) -> ClusterMoments:
     H, W = trinary.shape
-    E, C, K = max_edge_points, max_clusters, NBINS
+    # The compaction slice can never exceed the raw pair-stream length
+    # (tiny frames would otherwise mismatch downstream shapes).
+    E = min(max_edge_points, 4 * H * W)
+    C, K = max_clusters, NBINS
     if not (2 * W < (1 << 12) and 2 * H < (1 << 12)):
         raise ValueError(
             "packed coords support segmentation images up to 2047x2047; "

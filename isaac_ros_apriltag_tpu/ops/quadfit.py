@@ -52,27 +52,46 @@ class Quads(NamedTuple):
     gates: jax.Array      # (C, 6) bool — [combo, mse, area, angle, finite, n>=8]
 
 
-def _arc_sum(S: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
-    """Sum of per-bin values over the circular bin range [a, b] inclusive.
+def _arc_sums(S_list, a: jax.Array, b: jax.Array):
+    """Sums of per-bin values over the circular bin range [a, b] inclusive,
+    for EVERY prefix table in S_list at once.
 
-    S: (C, K+1) prefix sums; a, b int arrays (C, ...) with 0 <= a <= K,
+    Each S: (C, K+1) prefix sums; a, b int arrays (C, ...) with 0 <= a <= K,
     a-1 <= b < a + K (b < a yields an empty arc = 0); b may exceed K (wraps).
+
+    TPU formulation: the three prefix lookups per arc are fused into ONE
+    one-hot matmul per table — (C, P, K+1) selector @ (C, K+1) — instead of
+    take_along_axis (measured: per-element gathers serialize on TPU, and
+    this pick machinery dominated the quad-fit stage).
     """
-    C, K1 = S.shape
+    C, K1 = S_list[0].shape
     K = K1 - 1
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    shape = (C,) + tuple(shape[1:])
+    a = jnp.broadcast_to(a, shape).reshape(C, -1)
+    b = jnp.broadcast_to(b, shape).reshape(C, -1)
+    wrap = (b >= K)[..., None]                              # (C, P, 1)
 
-    def pick(idx):
-        idx = jnp.broadcast_to(idx, (C,) + idx.shape[1:])
-        flat = idx.reshape(C, -1)
-        out = jnp.take_along_axis(S, flat, axis=-1)
-        return out.reshape(idx.shape)
+    iota = jnp.arange(K1, dtype=jnp.int32)                  # (K+1,)
+    ia = jnp.clip(a, 0, K)[..., None]
+    ib = jnp.clip(b + 1, 0, K)[..., None]
+    iw = jnp.clip(b - K + 1, 0, K)[..., None]
+    # combined selector: direct = S[ib] - S[ia]; wrapped = S[K] - S[ia] + S[iw]
+    sel = jnp.where(wrap,
+                    (iota == iw).astype(jnp.float32)
+                    - (iota == ia).astype(jnp.float32)
+                    + (iota == K).astype(jnp.float32),
+                    (iota == ib).astype(jnp.float32)
+                    - (iota == ia).astype(jnp.float32))      # (C, P, K+1)
+    outs = []
+    for S in S_list:
+        o = jnp.einsum("cpk,ck->cp", sel, S)
+        outs.append(o.reshape(shape))
+    return outs
 
-    wrap = b >= K
-    Sa = pick(jnp.clip(a, 0, K))
-    direct = pick(jnp.clip(b + 1, 0, K)) - Sa
-    total = S[:, K].reshape((C,) + (1,) * (a.ndim - 1))
-    wrapped = total - Sa + pick(jnp.clip(b - K + 1, 0, K))
-    return jnp.where(wrap, wrapped, direct)
+
+def _arc_sum(S: jax.Array, a: jax.Array, b: jax.Array) -> jax.Array:
+    return _arc_sums([S], a, b)[0]
 
 
 def _line_fit(msums: tuple, W: jax.Array):
@@ -176,9 +195,8 @@ def _fit_quads_bins(B, centroid, scale, dark_inside, n, cluster_valid, *,
     m = 2
     a = (kb - m) % K
     b = a + 2 * m
-    msums = tuple(_arc_sum(s, a, b) for s in (Sx, Sy, Sxx, Sxy, Syy))
-    Wn = _arc_sum(Sw, a, b)
-    *_, errs = _line_fit(msums, Wn)                    # (C, K)
+    *msums, Wn = _arc_sums((Sx, Sy, Sxx, Sxy, Syy, Sw), a, b)
+    *_, errs = _line_fit(tuple(msums), Wn)             # (C, K)
     errs = jnp.where(Wn >= 4.0, errs, -jnp.inf)
 
     # --- circular local maxima -> top-M candidate bins ----------------------
@@ -203,9 +221,8 @@ def _fit_quads_bins(B, centroid, scale, dark_inside, n, cluster_valid, *,
     arc_a = c0 + 1                                     # in [1, K]
     arc_b = c1 - 1                                     # empty arc -> a-1
     nbins_arc = arc_b - arc_a + 1
-    msums = tuple(_arc_sum(s, arc_a, arc_b) for s in (Sx, Sy, Sxx, Sxy, Syy))
-    Wn = _arc_sum(Sw, arc_a, arc_b)
-    ex, ey, cxx, cxy, cyy, aerr = _line_fit(msums, Wn)  # each (C, Ncomb, 4)
+    *msums, Wn = _arc_sums((Sx, Sy, Sxx, Sxy, Syy, Sw), arc_a, arc_b)
+    ex, ey, cxx, cxy, cyy, aerr = _line_fit(tuple(msums), Wn)  # each (C, Ncomb, 4)
     arc_ok = (nbins_arc >= 1) & (Wn >= 3.0)
     combo_err = jnp.where(combo_ok & jnp.all(arc_ok, -1),
                           jnp.sum(aerr, -1), jnp.inf)   # (C, Ncomb)
