@@ -84,16 +84,32 @@ def _stage_table(cam, frame, cfg, iters):
     gray = jnp.asarray(frame, jnp.float32)
     table = {}
 
-    def timeit(name, fn, *args):
-        fn = jax.jit(fn)
-        out = fn(*args)
-        np.asarray(jax.tree.leaves(out)[0])  # sync (see _throughput note)
+    K = max(4, min(iters, 8))
+    _probe = jax.jit(lambda s: s + 1.0)
+
+    def _rtt():
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-            np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
-        table[name] = round(1000 * (time.perf_counter() - t0) / iters, 3)
-        return out
+        for _ in range(3):
+            float(_probe(jnp.float32(1.0)))
+        return (time.perf_counter() - t0) / 3
+
+    float(_probe(jnp.float32(0.0)))  # warm the probe
+
+    def timeit(name, fn, *args):
+        # lax.map runs K sequential executions inside ONE dispatch, so the
+        # per-op time is clean of the tunnel RTT (see _throughput note);
+        # the single remaining RTT is measured and subtracted.
+        mapped = jax.jit(lambda xs: jax.lax.map(lambda a: fn(*a), xs))
+        stacked = jax.tree.map(lambda x: jnp.stack([x] * K), tuple(args))
+        out = mapped(stacked)
+        np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+        r0 = _rtt()
+        t0 = time.perf_counter()
+        out = mapped(stacked)
+        np.asarray(jax.tree.leaves(out)[0].ravel()[:1])
+        dt = time.perf_counter() - t0 - r0
+        table[name] = round(max(1000 * dt / K, 0.0), 3)
+        return jax.tree.map(lambda x: x[0], out)
 
     seg = timeit("decimate", lambda g: _pad_to_tiles(_decimate(g, d), cfg.tile_size), gray)
     if use_pallas:

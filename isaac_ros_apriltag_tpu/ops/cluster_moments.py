@@ -218,32 +218,43 @@ def extract_cluster_moments(trinary: jax.Array, label: jax.Array,
     is_last = valid & (nxt_first | ~nxt_valid)
     tot_at_last = jnp.where(is_last[:, None], run, 0.0)
     # reverse copy-scan: every member sees its segment's total (the carry op
-    # keeps the value seeded at the segment's is_last position)
-    tot = jnp.flip(_seg_scan(jnp.flip(tot_at_last, 0),
-                             jnp.flip(is_last, 0)[:, None],
-                             lambda a, b: a), 0)                  # (E, 7)
-    cnt_p = jnp.maximum(tot[:, 0], 1.0)
-    cx_p = tot[:, 1] / cnt_p
-    cy_p = tot[:, 2] / cnt_p
+    # keeps the value seeded at the segment's is_last position). Only the
+    # four fields consumed PER PAIR (count, x, y, r^2 — for the centroid and
+    # scale normalization) are broadcast; gradient sums are per-cluster only
+    # and read from `run` at the winning start positions below.
+    tot4 = jnp.flip(_seg_scan(jnp.flip(tot_at_last[:, :4], 0),
+                              jnp.flip(is_last, 0)[:, None],
+                              lambda a, b: a), 0)                 # (E, 4)
+    cnt_p = jnp.maximum(tot4[:, 0], 1.0)
+    cx_p = tot4[:, 1] / cnt_p
+    cy_p = tot4[:, 2] / cnt_p
 
     # --- top-C segments by size (gates in true-pixel units) -----------------
     max_perimeter = 2 * (2 * W + 2 * H)
-    count_at_start = jnp.where(first, tot[:, 0], 0.0).astype(jnp.int32)
+    count_at_start = jnp.where(first, tot4[:, 0], 0.0).astype(jnp.int32)
     true_size = count_at_start * stride
     eligible = (true_size >= min_cluster_pixels) & (true_size <= max_perimeter)
     gated = jnp.where(eligible, count_at_start, 0)
     top_sizes, top_pos = jax.lax.top_k(gated, C)                  # over (E,)
     cvalid = top_sizes > 0
 
-    # per-cluster scalars (C-sized gathers: trivial)
-    ctot = tot[top_pos]                                           # (C, 7)
-    ccnt = jnp.where(cvalid, ctot[:, 0], 0.0)
+    # per-cluster scalars (C-sized gathers: trivial). Gradient sums live in
+    # `run` at each segment's LAST position (cummin locates it per start).
+    idxs = jnp.arange(E, dtype=jnp.int32)
+    cand = jnp.where(first, idxs, E)
+    suffix_min = jnp.flip(jax.lax.cummin(jnp.flip(cand)))
+    nxt_start_idx = jnp.concatenate([suffix_min[1:],
+                                     jnp.full((1,), E, jnp.int32)])
+    last_of_start = jnp.clip(nxt_start_idx - 1, 0, E - 1)
+    ctot4 = tot4[top_pos]                                         # (C, 4)
+    cgrad = run[last_of_start[top_pos]][:, 4:7]                   # (C, 3)
+    ccnt = jnp.where(cvalid, ctot4[:, 0], 0.0)
     safe = jnp.maximum(ccnt, 1.0)
-    ccx = ctot[:, 1] / safe
-    ccy = ctot[:, 2] / safe
-    r2m = ctot[:, 3] / safe - ccx * ccx - ccy * ccy
+    ccx = ctot4[:, 1] / safe
+    ccy = ctot4[:, 2] / safe
+    r2m = ctot4[:, 3] / safe - ccx * ccx - ccy * ccy
     cscale = jnp.sqrt(jnp.maximum(r2m, 1e-12))
-    mean_dot = (ctot[:, 6] - ccx * ctot[:, 4] - ccy * ctot[:, 5]) / safe
+    mean_dot = (cgrad[:, 2] - ccx * cgrad[:, 0] - ccy * cgrad[:, 1]) / safe
     dark = mean_dot > 0
 
     # --- slot ids broadcast to members (C-scatter + forward copy-scan) ------
@@ -254,7 +265,7 @@ def extract_cluster_moments(trinary: jax.Array, label: jax.Array,
     # --- per-pair normalized coords + angular bin ---------------------------
     dxp = x - cx_p
     dyp = y - cy_p
-    r2_p = jnp.maximum(tot[:, 3] / cnt_p - cx_p * cx_p - cy_p * cy_p, 1e-12)
+    r2_p = jnp.maximum(tot4[:, 3] / cnt_p - cx_p * cx_p - cy_p * cy_p, 1e-12)
     inv_scale = jax.lax.rsqrt(r2_p)
     sxn = dxp * inv_scale
     syn = dyp * inv_scale
