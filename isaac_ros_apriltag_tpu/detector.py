@@ -243,3 +243,53 @@ class Detector:
     def detect_with_stats(self, image, encoding: str = "rgb8"
                           ) -> tuple[Detections, FrameStats]:
         return self._fn(encoding)(jnp.asarray(image))
+
+    def detect_checked(self, image, encoding: str = "rgb8"
+                       ) -> tuple[Detections, FrameStats]:
+        """Debug entry point: run the pipeline under jax.experimental.checkify
+        with explicit output-invariant checks, raising on violation.
+
+        The sanitizer analog of the reference's CHECK_VPI_STATUS macros
+        (survey §5.2; ref: apriltag_node.cpp:210,:228,:279) — jit purity
+        already rules out data races, so the remaining runtime checks are
+        numeric health of everything reported valid: finite corners/centers/
+        poses, normalized quaternions, in-range ids, sane counts. (Whole-
+        graph float_checks would false-positive on the pipeline's guarded
+        degenerate paths — parallel-line intersections etc. are computed
+        then masked.) Slower than detect(); not for the hot path.
+        """
+        from jax.experimental import checkify
+
+        key = ("checked", encoding)
+        if key not in self._jitted:
+            fn = build_detect_fn(self.config, self.camera, encoding)
+            ncodes = self.family.ncodes
+
+            def checked(img):
+                det, stats = fn(img)
+                v = det.valid
+                vm = lambda x: jnp.where(
+                    v.reshape(v.shape + (1,) * (x.ndim - 1)), x, 0.0)
+                checkify.check(jnp.all(jnp.isfinite(vm(det.corners))),
+                               "non-finite corners on valid detections")
+                checkify.check(jnp.all(jnp.isfinite(vm(det.center))),
+                               "non-finite centers on valid detections")
+                checkify.check(jnp.all(jnp.isfinite(vm(det.translation))),
+                               "non-finite translations on valid detections")
+                qn = jnp.sum(det.quaternion * det.quaternion, -1)
+                checkify.check(
+                    jnp.all(jnp.where(v, jnp.abs(qn - 1.0) < 1e-3, True)),
+                    "unnormalized quaternions on valid detections")
+                ok_id = (det.id >= 0) & (det.id < ncodes)
+                checkify.check(jnp.all(jnp.where(v, ok_id, True)),
+                               "tag id out of family range")
+                checkify.check(
+                    stats.num_detections == jnp.sum(v.astype(jnp.int32)),
+                    "num_detections disagrees with the valid mask")
+                return det, stats
+
+            self._jitted[key] = jax.jit(
+                checkify.checkify(checked, errors=checkify.user_checks))
+        err, out = self._jitted[key](jnp.asarray(image))
+        checkify.check_error(err)
+        return out

@@ -58,6 +58,17 @@ class Detections:
             rotation=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (T, 3, 3)),
         )
 
+    def frame_ids(self, family: str) -> list[str]:
+        """TF child frame names for the valid detections, in the reference's
+        exact convention: "<family>:<id>" (ref: apriltag_node.cpp:353-356,
+        id format :535-536). Consumers hang each tag pose under the camera
+        frame with these names — the tf2-broadcaster analog."""
+        import numpy as np
+
+        valid = np.asarray(self.valid)
+        ids = np.asarray(self.id)
+        return [f"{family}:{int(ids[i])}" for i in np.nonzero(valid)[0]]
+
     def to_list(self) -> list[dict]:
         """Host-side: unpack valid rows into python dicts (for viz / logging)."""
         import numpy as np

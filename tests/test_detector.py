@@ -156,3 +156,27 @@ def test_other_families(small_camera_mod, family_name):
     rows = det.detect(img, encoding="mono8").to_list()
     assert len(rows) == 1, family_name
     assert rows[0]["id"] == tid
+
+
+def test_detect_checked_passes_invariants(small_camera_mod):
+    """The checkify debug path (survey §5.2) validates output invariants
+    (finite geometry, normalized quaternions, id range, count consistency)
+    and returns the same detections as the plain path."""
+    import numpy as np
+
+    from isaac_ros_apriltag_tpu import Detector, DetectorConfig
+    from isaac_ros_apriltag_tpu.models.families import get_family
+    from isaac_ros_apriltag_tpu.utils.render import render_tags, upright_pose
+
+    fam = get_family("tag36h11")
+    t = np.array([0.0, 0.0, 1.1])
+    img = render_tags(np.asarray(small_camera_mod.K),
+                      (small_camera_mod.height, small_camera_mod.width),
+                      [dict(family=fam, id=9, R=upright_pose(t), t=t,
+                            tag_size=0.16)], noise=1.0)
+    det = Detector(DetectorConfig(tag_size=0.16, backend="xla"), small_camera_mod)
+    d1, s1 = det.detect_checked(img, encoding="mono8")
+    d0, s0 = det.detect_with_stats(img, encoding="mono8")
+    np.testing.assert_array_equal(np.asarray(d1.valid), np.asarray(d0.valid))
+    np.testing.assert_array_equal(np.asarray(d1.id), np.asarray(d0.id))
+    assert int(s1.num_detections) == 1
