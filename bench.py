@@ -197,6 +197,28 @@ def main():
             np.asarray(gdet.valid)
         detail["graph_fps"] = round(BATCH * ITERS / (time.perf_counter() - t0), 1)
 
+    # --- streaming runner: double-buffering overlap gain -------------------
+    if os.environ.get("BENCH_STREAM", "1") == "1":
+        from isaac_ros_apriltag_tpu.streaming import StreamingRunner
+
+        sfn = jax.jit(build_detect_fn(cfg, cam, encoding="mono8"))
+        det1, _ = sfn(jnp.asarray(frame))       # compile
+        np.asarray(det1.valid)
+        N_STREAM = 16
+        stream = [frame] * N_STREAM
+
+        def run_depth(depth):
+            t0 = time.perf_counter()
+            for det, _ in StreamingRunner(sfn, depth=depth).run(stream):
+                np.asarray(det.valid)           # consumer readback (true sync)
+            return time.perf_counter() - t0
+
+        run_depth(2)                            # warm path
+        t_sync = run_depth(1)
+        t_pipe = run_depth(3)
+        detail["stream_fps_sync"] = round(N_STREAM / t_sync, 1)
+        detail["stream_fps_pipelined"] = round(N_STREAM / t_pipe, 1)
+
     # --- per-stage breakdown ----------------------------------------------
     if os.environ.get("BENCH_STAGES", "1") == "1":
         detail["stage_ms"] = _stage_table(cam, frame, cfg, max(ITERS, 10))

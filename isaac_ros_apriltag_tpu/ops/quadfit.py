@@ -85,7 +85,11 @@ def _arc_sums(S_list, a: jax.Array, b: jax.Array):
                     - (iota == ia).astype(jnp.float32))      # (C, P, K+1)
     outs = []
     for S in S_list:
-        o = jnp.einsum("cpk,ck->cp", sel, S)
+        # HIGHEST precision is load-bearing: arc sums are small differences
+        # of large prefix values, and the TPU MXU's default bf16 passes
+        # wipe them out (measured: detections halved at noisy 1080p).
+        o = jnp.einsum("cpk,ck->cp", sel, S,
+                       precision=jax.lax.Precision.HIGHEST)
         outs.append(o.reshape(shape))
     return outs
 
