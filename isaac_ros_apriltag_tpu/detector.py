@@ -109,12 +109,13 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
         gray, trinary = jax.lax.optimization_barrier((gray, trinary))
         if cfg.backend in ("pallas", "interpret"):
             from .ops.pallas.ccl import connected_components_pallas
-            label = connected_components_pallas(
+            label, ccl_converged = connected_components_pallas(
                 trinary, cfg.ccl_rounds, cfg.ccl_jumps, cfg.ccl_jump_every,
-                interpret=cfg.backend == "interpret")
+                interpret=cfg.backend == "interpret", with_convergence=True)
         else:
-            label = connected_components(trinary, cfg.ccl_rounds,
-                                         cfg.ccl_jumps, cfg.ccl_jump_every)
+            label, ccl_converged = connected_components(
+                trinary, cfg.ccl_rounds, cfg.ccl_jumps, cfg.ccl_jump_every,
+                with_convergence=True)
         label = jax.lax.optimization_barrier(label)
         sizes = component_sizes(label)
         sizes = jax.lax.optimization_barrier(sizes)
@@ -203,6 +204,7 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
             num_quads=n_quads,
             num_detections=jnp.sum(sel_valid.astype(jnp.int32)),
             edge_stride=clusters.edge_stride,
+            ccl_converged=ccl_converged,
             # clusters.overflow covers hash-probe exhaustion and
             # eligible-cluster truncation (num_eligible > max_clusters, NOT
             # raw segment count — sub-threshold segments never get slots);

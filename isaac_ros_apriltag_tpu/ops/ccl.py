@@ -69,7 +69,8 @@ _DIAGONALS = ((1, 1), (1, -1), (-1, 1), (-1, -1))
 
 def connected_components(trinary: jax.Array, rounds: int = 6, jumps: int = 2,
                          jump_every: int = 1,
-                         label0: jax.Array | None = None) -> jax.Array:
+                         label0: jax.Array | None = None,
+                         with_convergence: bool = False):
     """(H, W) uint8 trinary {0,127,255} -> (H, W) int32 component labels.
 
     Valid pixels get the min linear index of their component; 127 pixels keep
@@ -84,6 +85,11 @@ def connected_components(trinary: jax.Array, rounds: int = 6, jumps: int = 2,
     CCL, whose labels are GLOBAL flat indices and whose shards re-enter this
     function between halo exchanges; jumps must be 0 in that mode — label
     values then point outside the local gather table).
+
+    `with_convergence=True` returns (labels, converged) where `converged`
+    is True iff the FINAL round changed nothing — the non-convergence
+    telemetry for adversarial scenes where `rounds` is too small (one extra
+    elementwise compare; the iteration bound itself stays static).
     """
     H, W = trinary.shape
     idx = (jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
@@ -139,8 +145,17 @@ def connected_components(trinary: jax.Array, rounds: int = 6, jumps: int = 2,
         return jax.lax.cond((r + 1) % jump_every == 0, jump,
                             lambda lab: lab, label)
 
-    label = jax.lax.fori_loop(0, rounds, body, idx, unroll=False)
-    return label
+    if not with_convergence:
+        return jax.lax.fori_loop(0, rounds, body, idx, unroll=False)
+
+    def body_flagged(r, carry):
+        label, _ = carry
+        new = body(r, label)
+        return new, jnp.any(new != label)      # last round's flag survives
+
+    label, changed = jax.lax.fori_loop(0, rounds, body_flagged,
+                                       (idx, jnp.array(False)), unroll=False)
+    return label, ~changed
 
 
 def component_sizes(label: jax.Array) -> jax.Array:

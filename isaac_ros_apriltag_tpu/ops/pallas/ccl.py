@@ -146,14 +146,17 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("rounds", "jumps", "jump_every",
-                                             "interpret"))
+                                             "interpret", "with_convergence"))
 def connected_components_pallas(trinary: jax.Array, rounds: int = 6,
                                 jumps: int = 2, jump_every: int = 1, *,
-                                interpret: bool = False) -> jax.Array:
+                                interpret: bool = False,
+                                with_convergence: bool = False):
     """Drop-in replacement for ops.ccl.connected_components.
 
     (H, W) uint8 trinary {0,127,255} -> (H, W) int32 labels; round-for-round
     bit-identical to the XLA backend (both assign the min flat index).
+    With `with_convergence`, also returns True iff the final round was a
+    no-op (same telemetry semantics as the XLA backend).
     """
     H, W = trinary.shape
     Hp = _round_up(H, _ROW_BAND)
@@ -210,7 +213,18 @@ def connected_components_pallas(trinary: jax.Array, rounds: int = 6,
         return jax.lax.cond((r + 1) % jump_every == 0, jump,
                             lambda lab: lab, label)
 
-    label = jax.lax.fori_loop(0, rounds, body, label0, unroll=False)
+    if with_convergence:
+        def body_flagged(r, carry):
+            label, _ = carry
+            new = body(r, label)
+            return new, jnp.any(new != label)
+
+        label, changed = jax.lax.fori_loop(0, rounds, body_flagged,
+                                           (label0, jnp.array(False)),
+                                           unroll=False)
+    else:
+        label = jax.lax.fori_loop(0, rounds, body, label0, unroll=False)
     # Remap padded flat indices -> unpadded flat indices and crop.
     label = label[:H, :W]
-    return (label // Wp) * W + (label % Wp)
+    label = (label // Wp) * W + (label % Wp)
+    return (label, ~changed) if with_convergence else label

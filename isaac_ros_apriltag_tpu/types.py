@@ -98,6 +98,10 @@ class FrameStats:
     num_quads: jax.Array         # int32 — quads that passed geometric filters
     num_detections: jax.Array    # int32 — final decoded detections
     edge_stride: jax.Array       # int32 — boundary decimation applied (1 = none)
+    ccl_converged: jax.Array     # bool — final CCL round changed nothing; False
+    #                              means ccl_rounds was too small for this scene
+    #                              (adversarial percolation noise) and labels may
+    #                              be split finer than true components
     overflow: jax.Array          # bool — a capacity was exceeded; results are
     #                              decimated/truncated (moral equivalent of the
     #                              reference's detector-error log,

@@ -103,3 +103,20 @@ def test_bench_scene_1080p_noise2(camera):
     det = Detector(DetectorConfig(tag_size=0.3, backend="xla"), cam)
     rows = det.detect(img, encoding="mono8").to_list()
     assert sorted(r["id"] for r in rows) == [1, 8, 15, 22, 29, 36]
+
+
+def test_ccl_convergence_reported(camera):
+    """FrameStats.ccl_converged surfaces iteration-budget exhaustion (the
+    round-2 review's blind spot: ccl_rounds too small for adversarial noise
+    silently mislabeled). A clean scene must converge; a tiny round budget
+    on a noisy scene must NOT report convergence."""
+    img, _ = _scene(camera, [(0.0, 0.0)], noise=0.0)
+    _, stats = Detector(DetectorConfig(tag_size=TAG_SIZE, backend="xla"),
+                        camera).detect_with_stats(img, encoding="mono8")
+    assert bool(stats.ccl_converged)
+
+    noisy, _ = _scene(camera, [(0.0, 0.0)], noise=4.0)
+    cfg = DetectorConfig(tag_size=TAG_SIZE, backend="xla", ccl_rounds=1,
+                         ccl_jumps=0)
+    _, stats2 = Detector(cfg, camera).detect_with_stats(noisy, encoding="mono8")
+    assert not bool(stats2.ccl_converged)
