@@ -55,7 +55,7 @@ _OFFSETS = ((1, 0), (0, 1), (-1, 1), (1, 1))
 
 
 class ClusterMoments(NamedTuple):
-    """Per-cluster angular moment tables (inputs to ops.quadfit.fit_quads)."""
+    """Per-cluster angular moment tables (inputs to ops.quadfit.fit_quads_from_moments)."""
 
     # (C, NBINS) float32 per-bin sums over scale-normalized coords (sx, sy):
     bw: jax.Array     # sum of weights (point counts)

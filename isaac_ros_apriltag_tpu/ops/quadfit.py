@@ -6,11 +6,13 @@ the boundary; that formulation needs an argsort plus ~17 dynamically-indexed
 gathers per cluster and measured ~80 ms/frame on TPU. Here the angular
 dimension is QUANTIZED into K=64 fixed bins instead:
 
-  1. per-point angle about the centroid -> bin id (elementwise);
-  2. per-bin moment sums (w, x, y, xx, xy, yy) via one scatter-add into a
-     (C, K) table — the only irregular op, and it is VMEM-sized;
+  1. per-point angle about the centroid -> bin id (elementwise, computed
+     upstream in ops/cluster_moments.py with the sort-centric grouping);
+  2. per-(cluster, bin) moment sums (w, x, y, xx, xy, yy) arrive as the
+     ClusterMoments tables;
   3. circular prefix sums over bins give O(1) weighted line fits over any
-     angular arc (all arc indices are static-modulo-K — no dynamic shapes);
+     angular arc via one-hot selector matmuls (all arc indices are
+     static-modulo-K — no dynamic shapes, no serialized gathers);
   4. per-bin line-fit error over a +-2-bin window; circular local maxima are
      corner candidates (bin resolution 360/64 = 5.6 deg, comparable to the
      original's ~20-point windows on a ~1000-point boundary);
@@ -36,7 +38,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .clusters import Clusters
 
 _NBINS = 64
 _MAXIMA = 10
@@ -122,50 +123,6 @@ def _line_dir(cxx, cxy, cyy):
     n2 = jnp.sum(v2 * v2, -1, keepdims=True)
     v = jnp.where(n1 > n2, v1, v2)
     return v / jnp.sqrt(jnp.maximum(jnp.sum(v * v, -1, keepdims=True), 1e-12))
-
-
-def fit_quads(clusters: Clusters, *, max_line_fit_mse: float = 10.0,
-              critical_cos: float = 0.985, min_area: float = 64.0) -> Quads:
-    """Legacy point-list entry: bins moments from (C, P) point buffers, then
-    runs the shared bin-space fit (see fit_quads_from_moments for the
-    sort-free pipeline that feeds moments directly)."""
-    xy, grad, mask, n = clusters.xy, clusters.grad, clusters.mask, clusters.count
-    C, P, _ = xy.shape
-    K = _NBINS
-    w = mask.astype(jnp.float32)                       # (C, P)
-    wsum = jnp.maximum(jnp.sum(w, -1, keepdims=True), 1.0)
-
-    # --- centroid, normalized coords, angular bin ---------------------------
-    cx = jnp.sum(xy[..., 0] * w, -1, keepdims=True) / wsum
-    cy = jnp.sum(xy[..., 1] * w, -1, keepdims=True) / wsum
-    dx = xy[..., 0] - cx
-    dy = xy[..., 1] - cy
-    # Scale-normalize: raw-pixel prefix moments lose the ~0.1 px^2 variance
-    # to f32 cancellation; in normalized units all moments are O(1).
-    r2 = dx * dx + dy * dy
-    scale = jnp.sqrt(jnp.sum(r2 * w, -1, keepdims=True) / wsum)
-    scale = jnp.maximum(scale, 1e-6)
-    sx = dx / scale
-    sy = dy / scale
-    theta = jnp.arctan2(dy, dx)                        # (C, P)
-    bins = jnp.clip(((theta + np.pi) * (K / (2 * np.pi))).astype(jnp.int32),
-                    0, K - 1)
-
-    # --- winding / polarity --------------------------------------------------
-    # Outward gradient (black->white): positive mean radial dot => dark inside.
-    mean_dot = jnp.sum((sx * grad[..., 0] + sy * grad[..., 1]) * w, -1) / wsum[..., 0]
-    dark_inside = mean_dot > 0
-
-    # --- per-bin moments via one scatter-add --------------------------------
-    flat = (jnp.arange(C, dtype=jnp.int32)[:, None] * K + bins).reshape(-1)
-    flat = jnp.where(mask.reshape(-1), flat, C * K)    # invalid -> sentinel
-    fields = (w, sx * w, sy * w, sx * sx * w, sx * sy * w, sy * sy * w)
-    B = [jnp.zeros((C * K + 1,), jnp.float32).at[flat].add(f.reshape(-1))[:-1]
-         .reshape(C, K) for f in fields]
-    return _fit_quads_bins(B, jnp.concatenate([cx, cy], -1), scale[..., 0],
-                           dark_inside, n, jnp.ones((C,), bool),
-                           max_line_fit_mse=max_line_fit_mse,
-                           critical_cos=critical_cos, min_area=min_area)
 
 
 def fit_quads_from_moments(m, *, max_line_fit_mse: float = 10.0,

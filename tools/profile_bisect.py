@@ -14,7 +14,6 @@ import numpy as np
 from isaac_ros_apriltag_tpu import CameraModel, DetectorConfig
 from isaac_ros_apriltag_tpu.models.families import get_family
 from isaac_ros_apriltag_tpu.ops.ccl import component_sizes, connected_components
-from isaac_ros_apriltag_tpu.ops.clusters import extract_clusters
 from isaac_ros_apriltag_tpu.ops.decode import decode_quads
 from isaac_ros_apriltag_tpu.ops.pose import estimate_poses
 from isaac_ros_apriltag_tpu.ops.quadfit import fit_quads

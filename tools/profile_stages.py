@@ -21,10 +21,10 @@ import numpy as np
 from isaac_ros_apriltag_tpu import CameraModel, DetectorConfig
 from isaac_ros_apriltag_tpu.models.families import get_family
 from isaac_ros_apriltag_tpu.ops.ccl import component_sizes, connected_components
-from isaac_ros_apriltag_tpu.ops.clusters import extract_clusters
+from isaac_ros_apriltag_tpu.ops.cluster_moments import extract_cluster_moments
 from isaac_ros_apriltag_tpu.ops.decode import decode_quads
 from isaac_ros_apriltag_tpu.ops.pose import estimate_poses
-from isaac_ros_apriltag_tpu.ops.quadfit import fit_quads
+from isaac_ros_apriltag_tpu.ops.quadfit import fit_quads_from_moments
 from isaac_ros_apriltag_tpu.ops.refine import refine_edges
 from isaac_ros_apriltag_tpu.ops.threshold import adaptive_threshold
 from isaac_ros_apriltag_tpu.utils.render import render_tags, upright_pose
@@ -76,16 +76,15 @@ def main():
     total += dt
     sizes, dt = timeit("component_sizes", jax.jit(component_sizes), label, iters=it)
     total += dt
-    clusters, dt = timeit("extract_clusters", jax.jit(
-        lambda t, l, s: extract_clusters(
+    clusters, dt = timeit("cluster_moments", jax.jit(
+        lambda t, l, s: extract_cluster_moments(
             t, l, s, max_edge_points=cfg.max_edge_points,
             max_clusters=cfg.max_clusters,
-            max_cluster_points=cfg.max_cluster_points,
             min_component_pixels=cfg.min_component_pixels,
             min_cluster_pixels=cfg.min_cluster_pixels)),
         trinary, label, sizes, iters=it)
     total += dt
-    quads, dt = timeit("fit_quads", jax.jit(fit_quads), clusters, iters=it)
+    quads, dt = timeit("fit_quads", jax.jit(fit_quads_from_moments), clusters, iters=it)
     total += dt
     corners, dt = timeit("refine_edges", jax.jit(refine_edges),
                          gray, quads.corners, quads.dark_inside, iters=it)
