@@ -197,6 +197,15 @@ def main():
             np.asarray(gdet.valid)
         detail["graph_fps"] = round(BATCH * ITERS / (time.perf_counter() - t0), 1)
 
+    # --- apples-to-apples 720p line (reference anchor is 596 fps @720p) ----
+    if os.environ.get("BENCH_720", "0") == "1":
+        cam7, frame7 = _scene(720, 1280)
+        fn7 = jax.jit(jax.vmap(build_detect_fn(cfg, cam7, encoding="mono8")))
+        x7 = jnp.asarray(np.stack([frame7] * BATCH))
+        dt7, n7 = _throughput(fn7, x7, ITERS, None)
+        detail["fps_720p"] = round(BATCH * ITERS / dt7, 1)
+        detail["detections_per_frame_720p"] = n7 // BATCH
+
     # --- streaming runner: double-buffering overlap gain -------------------
     if os.environ.get("BENCH_STREAM", "1") == "1":
         from isaac_ros_apriltag_tpu.streaming import StreamingRunner

@@ -19,6 +19,30 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Join this process to a multi-host TPU pod run (survey §5.8).
+
+    Thin deterministic wrapper over jax.distributed.initialize: on TPU pods
+    the arguments are discovered from the environment (call with no args on
+    each host); for CPU/GPU test rigs pass them explicitly. Must run before
+    any jax computation. After it, jax.devices() spans the whole pod and
+    make_mesh() lays the ('cam', 'map') axes across ICI first (devices are
+    enumerated host-major, so contiguous axis blocks stay on-host/ICI and
+    the 'map' psum crosses DCN only between hosts' blocks).
+
+    The reference has no multi-machine story at all (DDS pub/sub inside one
+    node graph); this is the entry point its replacement needs for the
+    4-host/16-camera BASELINE configuration.
+    """
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_cam: int | None = None, n_map: int = 1,
               devices=None) -> Mesh:
     """Build a (cam, map) mesh over the available devices.
