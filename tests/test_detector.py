@@ -142,7 +142,9 @@ def test_oblique_view(detector, small_camera_mod):
 
 
 @pytest.mark.parametrize("family_name", ["tag16h5", "tag25h9", "tag36h10",
-                                         "tagStandard41h12", "tagCircle21h7"])
+                                         "tagStandard41h12", "tagCircle21h7",
+                                         "tagCircle49h12", "tagCustom48h12",
+                                         "tagStandard52h13"])
 def test_other_families(small_camera_mod, family_name):
     fam = get_family(family_name)
     cfg = small_config(tag_family=family_name,
