@@ -6,10 +6,21 @@ vs_baseline is against the reference's best published single-GPU number
 (596 fps @720p on RTX 5090, /root/reference/README.md:69; BASELINE.md sets
 the v5e target at >= 2x that).
 
-detail carries: the XLA-oracle fps (secondary line), the graph-pipeline fps
-(rectify -> resize -> detect, /root/reference/README.md:70), and a per-stage
-ms table. Exits nonzero if the detector finds no tags (a 0-detection config
-must never publish a throughput number).
+Timing methodology (see isaac_ros_apriltag_tpu/utils/timing.py and
+CLAUDE.md): jax.block_until_ready does NOT synchronize on the tunneled axon
+platform, so every loop forces a host readback per completed call. The
+headline keeps 2 calls in flight (steady-state throughput: the readback RTT
+hides behind device compute; every call is still truly synced);
+`fps_serial` records the fully-serial dispatch->readback->dispatch rate.
+
+detail carries: the XLA-oracle fps, the 720p line (the reference's own
+benchmark resolution, README.md:67-70), the graph-pipeline fps on REAL
+graph work (8 MP distorted input -> separable rectify -> 2x resize ->
+detect at 1080p, reproducing README.md:24-26), an on-hardware
+pallas-vs-xla parity check (ids equal + corners — the backends-compare
+contract, ref test:162-249), streaming-runner lines (batched + single),
+a per-stage ms table and the residual (measured - stage sum). Exits
+nonzero on 0 detections or parity failure.
 """
 
 import json
@@ -23,40 +34,35 @@ import numpy as np
 
 BASELINE_FPS = 596.0  # RTX 5090 anchor (reference README.md:69)
 
+# The reference's shipped usb_cam calibration (isaac_ros_apriltag/config/
+# camera_info.yaml:19-44), scaled 3x to the 8 MP graph input.
+REF_K = dict(fx=942.53242, fy=946.21221, cx=642.81122, cy=346.71313)
+REF_D = [0.065725, -0.096954, 0.002318, 0.004110, 0.0]
 
-def _scene(H, W, noise=2.0):
-    from isaac_ros_apriltag_tpu import CameraModel
-    from isaac_ros_apriltag_tpu.models.families import get_family
-    from isaac_ros_apriltag_tpu.utils.render import render_tags, upright_pose
 
-    cam = CameraModel.create(fx=900.0 * W / 1920, fy=900.0 * W / 1920,
-                             cx=W / 2, cy=H / 2, width=W, height=H)
-    fam = get_family("tag36h11")
+def _tag_layout(fam):
     tags = []
     for i, (x, y) in enumerate([(-0.8, -0.45), (0.0, -0.45), (0.8, -0.45),
                                 (-0.8, 0.45), (0.0, 0.45), (0.8, 0.45)]):
         t = np.array([x, y, 2.5])
-        tags.append(dict(family=fam, id=7 * i + 1, R=upright_pose(t, 0.1 * i),
-                         t=t, tag_size=0.3))
+        tags.append(dict(family=fam, id=7 * i + 1, R=None, t=t, tag_size=0.3))
+    return tags
+
+
+def _scene(H, W, noise=2.0, cam=None):
+    from isaac_ros_apriltag_tpu import CameraModel
+    from isaac_ros_apriltag_tpu.models.families import get_family
+    from isaac_ros_apriltag_tpu.utils.render import render_tags, upright_pose
+
+    if cam is None:
+        cam = CameraModel.create(fx=900.0 * W / 1920, fy=900.0 * W / 1920,
+                                 cx=W / 2, cy=H / 2, width=W, height=H)
+    fam = get_family("tag36h11")
+    tags = _tag_layout(fam)
+    for i, tg in enumerate(tags):
+        tg["R"] = upright_pose(tg["t"], 0.1 * i)
     frame = render_tags(np.asarray(cam.K), (H, W), tags, noise=noise)
     return cam, frame
-
-
-def _throughput(fn, x, iters, valid_ref):
-    # NB: jax.block_until_ready does NOT synchronize on the tunneled axon
-    # platform (measured: an 8k^3 matmul "finishes" in 63 us). Every timing
-    # loop here forces a true host readback of a scalar each iteration —
-    # device execution is in-order, so the readback bounds all queued work —
-    # and deep async queues are avoided entirely (they degrade ~30x on the
-    # relay).
-    det, stats = fn(x)  # compile + warmup
-    n_det = int(np.asarray(stats.num_detections).sum())
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        det, stats = fn(x)
-        np.asarray(det.valid)   # host readback = true sync point
-    dt = time.perf_counter() - t0
-    return dt, n_det
 
 
 def _stage_table(cam, frame, cfg, iters):
@@ -66,19 +72,20 @@ def _stage_table(cam, frame, cfg, iters):
 
     from isaac_ros_apriltag_tpu.detector import _decimate, _pad_to_tiles, _upscale_coords
     from isaac_ros_apriltag_tpu.models.families import get_family
-    from isaac_ros_apriltag_tpu.ops.ccl import component_sizes, connected_components
+    from isaac_ros_apriltag_tpu.ops.ccl import connected_components
     from isaac_ros_apriltag_tpu.ops.cluster_moments import extract_cluster_moments
     from isaac_ros_apriltag_tpu.ops.decode import decode_quads
     from isaac_ros_apriltag_tpu.ops.pose import estimate_poses
     from isaac_ros_apriltag_tpu.ops.quadfit import fit_quads_from_moments
     from isaac_ros_apriltag_tpu.ops.refine import refine_edges
+    from isaac_ros_apriltag_tpu.ops.resolve import resolve_components
     from isaac_ros_apriltag_tpu.ops.threshold import adaptive_threshold
 
     fam = get_family(cfg.tag_family)
     d = cfg.quad_decimate
     use_pallas = cfg.backend == "pallas"
     if use_pallas:
-        from isaac_ros_apriltag_tpu.ops.pallas.ccl import connected_components_pallas
+        from isaac_ros_apriltag_tpu.ops.pallas.ccl_fused import ccl_scan_pallas
         from isaac_ros_apriltag_tpu.ops.pallas.threshold import adaptive_threshold_pallas
 
     gray = jnp.asarray(frame, jnp.float32)
@@ -97,7 +104,7 @@ def _stage_table(cam, frame, cfg, iters):
 
     def timeit(name, fn, *args):
         # lax.map runs K sequential executions inside ONE dispatch, so the
-        # per-op time is clean of the tunnel RTT (see _throughput note);
+        # per-op time is clean of the tunnel RTT (see timing methodology);
         # the single remaining RTT is measured and subtracted.
         mapped = jax.jit(lambda xs: jax.lax.map(lambda a: fn(*a), xs))
         stacked = jax.tree.map(lambda x: jnp.stack([x] * K), tuple(args))
@@ -115,19 +122,22 @@ def _stage_table(cam, frame, cfg, iters):
     if use_pallas:
         tri = timeit("threshold", lambda s: adaptive_threshold_pallas(
             s, cfg.tile_size, cfg.min_white_black_diff), seg)
-        lab = timeit("ccl", lambda t: connected_components_pallas(
-            t, cfg.ccl_rounds, cfg.ccl_jumps, cfg.ccl_jump_every), tri)
+        lab = timeit("ccl", lambda t: ccl_scan_pallas(
+            t, cfg.ccl_scan_rounds)[0], tri)
     else:
         tri = timeit("threshold", lambda s: adaptive_threshold(
             s, cfg.tile_size, cfg.min_white_black_diff), seg)
         lab = timeit("ccl", lambda t: connected_components(
             t, cfg.ccl_rounds, cfg.ccl_jumps, cfg.ccl_jump_every), tri)
-    sizes = timeit("component_sizes", component_sizes, lab)
-    mom = timeit("cluster_moments", lambda t, l, s: extract_cluster_moments(
-        t, l, s, max_edge_points=cfg.max_edge_points,
+    dense = timeit("resolve", lambda t, l: resolve_components(
+        l, t != 127, min_component_pixels=cfg.min_component_pixels,
+        max_components=cfg.max_components,
+        chain_steps=cfg.ccl_resolve_steps).dense, tri, lab)
+    mom = timeit("cluster_moments", lambda t, dn: extract_cluster_moments(
+        t, dn, comp_overflow=jnp.bool_(False),
+        max_edge_points=cfg.max_edge_points,
         max_clusters=cfg.max_clusters,
-        min_component_pixels=cfg.min_component_pixels,
-        min_cluster_pixels=cfg.min_cluster_pixels), tri, lab, sizes)
+        min_cluster_pixels=cfg.min_cluster_pixels), tri, dense)
     quads = timeit("quadfit", lambda m: fit_quads_from_moments(
         m, min_area=64.0 / (d * d)), mom)
     corners = timeit("refine", lambda g, c, dk: refine_edges(
@@ -150,21 +160,24 @@ def main():
 
     from isaac_ros_apriltag_tpu import DetectorConfig
     from isaac_ros_apriltag_tpu.detector import build_detect_fn
+    from isaac_ros_apriltag_tpu.utils.timing import throughput
 
     H, W = 1080, 1920
     BATCH = int(os.environ.get("BENCH_BATCH", "8"))
     ITERS = int(os.environ.get("BENCH_ITERS", "30"))
     BACKEND = os.environ.get("BENCH_BACKEND", "pallas")
+    fail = []
 
     cam, frame = _scene(H, W)
     frames = np.stack([frame] * BATCH)
     x = jnp.asarray(frames)
 
-    # --- headline: production backend, batched 1080p -----------------------
+    # --- headline: production backend, batched 1080p, 2-deep pipeline ------
     cfg = DetectorConfig(backend=BACKEND, tag_size=0.3)
     fn = jax.jit(jax.vmap(build_detect_fn(cfg, cam, encoding="mono8")))
-    dt, n_det = _throughput(fn, x, ITERS, None)
+    dt, (det0, stats0) = throughput(fn, x, ITERS, overlap=2)
     fps = BATCH * ITERS / dt
+    n_det = int(np.asarray(stats0.num_detections).sum())
     det_per_frame = n_det // BATCH
 
     detail = {
@@ -174,63 +187,103 @@ def main():
         "device": str(jax.devices()[0]),
         "backend": cfg.backend,
     }
+    dt_s, _ = throughput(fn, x, max(ITERS // 2, 5), overlap=1)
+    detail["fps_serial"] = round(BATCH * max(ITERS // 2, 5) / dt_s, 1)
 
-    # --- secondary: XLA oracle fps -----------------------------------------
+    # --- secondary: XLA oracle fps + on-hardware backend parity ------------
     if os.environ.get("BENCH_XLA", "1") == "1" and BACKEND != "xla":
         cfg_x = DetectorConfig(backend="xla", tag_size=0.3)
         fn_x = jax.jit(jax.vmap(build_detect_fn(cfg_x, cam, encoding="mono8")))
-        dt_x, n_x = _throughput(fn_x, x, ITERS, None)
+        dt_x, (det_x, stats_x) = throughput(fn_x, x, ITERS, overlap=2)
         detail["xla_fps"] = round(BATCH * ITERS / dt_x, 1)
-        detail["xla_detections_per_frame"] = n_x // BATCH
+        detail["xla_detections_per_frame"] = int(
+            np.asarray(stats_x.num_detections).sum()) // BATCH
+        # Parity on real hardware: the reference's backends-compare contract
+        # (same ids; corners numerically close) between the production
+        # kernels and the XLA oracle on the SAME frames.
+        va, vb = np.asarray(det0.valid), np.asarray(det_x.valid)
+        ia, ib = np.asarray(det0.id), np.asarray(det_x.id)
+        ca, cb = np.asarray(det0.corners), np.asarray(det_x.corners)
+        parity = bool((va == vb).all() and (ia[va] == ib[vb]).all())
+        max_err = float(np.abs(ca[va] - cb[vb]).max()) if parity else float("inf")
+        detail["parity_ok"] = bool(parity and max_err <= 0.1)
+        detail["parity_max_corner_err_px"] = round(max_err, 5)
+        if not detail["parity_ok"]:
+            fail.append(f"backend parity failed (max corner err {max_err})")
 
-    # --- graph pipeline: rectify -> resize -> detect (README.md:70) --------
+    # --- graph pipeline with REAL graph work (README.md:24-26, :70): -------
+    # 8 MP distorted sensor input -> separable rectify -> 2x area resize ->
+    # detect at 1080p, using the reference's shipped plumb_bob calibration
+    # scaled 3x to 3840x2160.
     if os.environ.get("BENCH_GRAPH", "1") == "1":
+        from isaac_ros_apriltag_tpu import CameraModel
         from isaac_ros_apriltag_tpu.pipeline import GraphPipeline
+        from isaac_ros_apriltag_tpu.utils.render import distort_image
 
-        gp = GraphPipeline(cfg, cam, encoding="mono8")
+        cam8 = CameraModel.create(
+            fx=REF_K["fx"] * 3, fy=REF_K["fy"] * 3, cx=REF_K["cx"] * 3,
+            cy=REF_K["cy"] * 3, width=3840, height=2160, dist=REF_D)
+        _, ideal8 = _scene(2160, 3840, cam=cam8)
+        frame8 = distort_image(ideal8, cam8)
+        gp = GraphPipeline(cfg, cam8, downscale=2, encoding="mono8")
         gfn = jax.jit(jax.vmap(gp.fn))
-        gdet, _ = gfn(x)
-        np.asarray(gdet.valid)
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            gdet, _ = gfn(x)
-            np.asarray(gdet.valid)
-        detail["graph_fps"] = round(BATCH * ITERS / (time.perf_counter() - t0), 1)
+        x8 = jnp.asarray(np.stack([frame8] * BATCH))
+        g_iters = max(ITERS // 2, 5)
+        dt_g, (gdet, gstats) = throughput(gfn, x8, g_iters, overlap=2)
+        detail["graph_fps"] = round(BATCH * g_iters / dt_g, 1)
+        detail["graph_detections_per_frame"] = int(
+            np.asarray(gstats.num_detections).sum()) // BATCH
+        detail["graph_input"] = "3840x2160 plumb_bob -> rectify -> 2x -> detect"
+        if detail["graph_detections_per_frame"] == 0:
+            fail.append("graph pipeline found 0 detections")
 
     # --- apples-to-apples 720p line (reference anchor is 596 fps @720p) ----
-    if os.environ.get("BENCH_720", "0") == "1":
+    if os.environ.get("BENCH_720", "1") == "1":
         cam7, frame7 = _scene(720, 1280)
         fn7 = jax.jit(jax.vmap(build_detect_fn(cfg, cam7, encoding="mono8")))
         x7 = jnp.asarray(np.stack([frame7] * BATCH))
-        dt7, n7 = _throughput(fn7, x7, ITERS, None)
+        dt7, (_, stats7) = throughput(fn7, x7, ITERS, overlap=2)
         detail["fps_720p"] = round(BATCH * ITERS / dt7, 1)
-        detail["detections_per_frame_720p"] = n7 // BATCH
+        detail["detections_per_frame_720p"] = int(
+            np.asarray(stats7.num_detections).sum()) // BATCH
 
-    # --- streaming runner: double-buffering overlap gain -------------------
+    # --- streaming runner: batched chunks (the production feed) ------------
     if os.environ.get("BENCH_STREAM", "1") == "1":
         from isaac_ros_apriltag_tpu.streaming import StreamingRunner
 
-        sfn = jax.jit(build_detect_fn(cfg, cam, encoding="mono8"))
-        det1, _ = sfn(jnp.asarray(frame))       # compile
-        np.asarray(det1.valid)
-        N_STREAM = 16
-        stream = [frame] * N_STREAM
+        N_CHUNKS = 8
+        stream = [frames] * N_CHUNKS
 
         def run_depth(depth):
             t0 = time.perf_counter()
-            for det, _ in StreamingRunner(sfn, depth=depth).run(stream):
-                np.asarray(det.valid)           # consumer readback (true sync)
+            for _ in StreamingRunner(fn, depth=depth).run(stream):
+                pass                     # runner syncs via host readback
             return time.perf_counter() - t0
 
-        run_depth(2)                            # warm path
-        t_sync = run_depth(1)
+        run_depth(2)                     # warm path
         t_pipe = run_depth(3)
-        detail["stream_fps_sync"] = round(N_STREAM / t_sync, 1)
-        detail["stream_fps_pipelined"] = round(N_STREAM / t_pipe, 1)
+        detail["stream_fps_pipelined"] = round(N_CHUNKS * BATCH / t_pipe, 1)
+        # single-frame stream (latency-oriented feed)
+        sfn = jax.jit(build_detect_fn(cfg, cam, encoding="mono8"))
+        s1 = [frame] * 16
+        for _ in StreamingRunner(sfn, depth=2).run(s1[:4]):
+            pass
+        t0 = time.perf_counter()
+        for _ in StreamingRunner(sfn, depth=1).run(s1):
+            pass
+        t_sync = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in StreamingRunner(sfn, depth=3).run(s1):
+            pass
+        t_pipe1 = time.perf_counter() - t0
+        detail["stream_fps_single_sync"] = round(len(s1) / t_sync, 1)
+        detail["stream_fps_single_pipelined"] = round(len(s1) / t_pipe1, 1)
 
-    # --- per-stage breakdown ----------------------------------------------
+    # --- per-stage breakdown + residual ------------------------------------
     if os.environ.get("BENCH_STAGES", "1") == "1":
         detail["stage_ms"] = _stage_table(cam, frame, cfg, max(ITERS, 10))
+        detail["residual_ms"] = round(
+            detail["ms_per_frame"] - sum(detail["stage_ms"].values()), 3)
 
     print(json.dumps({
         "metric": "tag36h11_fps_1080p_per_chip",
@@ -241,8 +294,9 @@ def main():
     }))
 
     if det_per_frame == 0:
-        print("BENCH FAILED: 0 detections per frame — refusing to publish a "
-              "throughput number for a broken config", file=sys.stderr)
+        fail.append("0 detections per frame")
+    if fail:
+        print("BENCH FAILED: " + "; ".join(fail), file=sys.stderr)
         sys.exit(1)
 
 

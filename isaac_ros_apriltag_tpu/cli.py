@@ -79,6 +79,12 @@ def cmd_detect(args) -> int:
                                  cy=args.cy if args.cy is not None else H / 2,
                                  width=W, height=H)
     det = Detector(_config(args), cam)
+    if not det.family.exact:
+        print(f"# WARNING: {det.family.name} uses a self-generated stand-in "
+              "codebook (the published table is not regenerable offline) — "
+              "ids will NOT match physical tags; vendor the official table "
+              "via models.families.register_family for interop",
+              file=sys.stderr)
     encoding = "mono8" if img.ndim == 2 else "rgb8"
     t0 = time.perf_counter()
     rows = det.detect(img, encoding=encoding).to_list()
@@ -112,17 +118,16 @@ def cmd_bench(args) -> int:
     frame = render_tags(np.asarray(cam.K), (H, W), tags, noise=args.noise)
     import dataclasses
 
+    from .utils.timing import throughput
+
     cfg = dataclasses.replace(_config(args), tag_size=0.3)
     fn = jax.jit(jax.vmap(build_detect_fn(cfg, cam, encoding="mono8")))
     x = jnp.asarray(np.stack([frame] * args.batch))
-    det, stats = fn(x)
-    jax.block_until_ready(det.valid)
+    # Host readback per iteration (utils/timing.py): jax.block_until_ready
+    # does not synchronize on the tunneled axon TPU, so a loop without
+    # per-iteration readbacks publishes dispatch rates, not compute.
+    dt, (det, stats) = throughput(fn, x, args.iters)
     n = int(np.asarray(stats.num_detections).sum()) // args.batch
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        det, _ = fn(x)
-    jax.block_until_ready(det.valid)
-    dt = time.perf_counter() - t0
     fps = args.batch * args.iters / dt
     print(json.dumps({"fps": round(fps, 1), "detections_per_frame": n,
                       "backend": cfg.backend, "hw": [H, W]}))

@@ -53,15 +53,21 @@ class DetectorConfig:
     max_edge_points: int = 1 << 18   # compacted boundary points per frame
     max_clusters: int = 128          # candidate boundary clusters kept
     max_cluster_points: int = 1024   # points retained per cluster
-    # CCL iteration: scan rounds are ~0.3 ms each in the Pallas backend while
-    # every pointer-jump pass costs ~4 ms (a 0.5M-element gather from an HBM
-    # table). Jumps are what converge small components attached through
-    # noisy percolation corridors (needed for small tags under sensor
-    # noise), so they are kept but RATIONED to every `ccl_jump_every`-th
-    # round instead of every round.
+    # CCL iteration (XLA oracle path; see ops/ccl.py): scan rounds plus
+    # pointer-jump passes rationed to every `ccl_jump_every`-th round (jumps
+    # converge components attached through noisy percolation corridors, but
+    # each pass is a full-image serializing gather, so they are rationed).
     ccl_rounds: int = 8              # scan/propagate rounds (see ops/ccl.py)
     ccl_jumps: int = 2               # pointer-jumping passes per jump round
     ccl_jump_every: int = 4          # jump rounds: every Nth round
+    # Fused-kernel CCL (pallas backend; ops/pallas/ccl_fused.py): scan-only
+    # rounds, all VMEM-resident (~2 orders cheaper per round than a jump
+    # pass), so convergence is bought with MORE rounds; residual parent
+    # chains are finished exactly by ops/resolve.py with `ccl_resolve_steps`
+    # compacted chain-follow gathers (both backends run the same resolve).
+    ccl_scan_rounds: int = 16        # fused-kernel scan rounds
+    ccl_resolve_steps: int = 5       # chain pointer-doublings (depth 2^n)
+    max_components: int = 1 << 16    # distinct-label capacity in resolve
 
     # Threshold / segmentation tuning (AprilTag-3 standard values).
     min_white_black_diff: int = 5
@@ -94,6 +100,12 @@ class DetectorConfig:
             raise ValueError("quad_decimate must be >= 1")
         if self.ccl_jump_every < 1:
             raise ValueError("ccl_jump_every must be >= 1")
+        if self.ccl_scan_rounds < 1:
+            raise ValueError("ccl_scan_rounds must be >= 1")
+        if self.ccl_resolve_steps < 1:
+            raise ValueError("ccl_resolve_steps must be >= 1")
+        if self.max_components < 1:
+            raise ValueError("max_components must be >= 1")
         fam_h = FAMILY_SPECS[self.tag_family][1]
         if self.max_hamming > (fam_h - 1) // 2:
             raise ValueError(

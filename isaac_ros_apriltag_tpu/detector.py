@@ -20,8 +20,9 @@ import jax.numpy as jnp
 from .camera.model import CameraModel
 from .config import DetectorConfig
 from .models.families import TagFamily, get_family
-from .ops.ccl import component_sizes, connected_components
+from .ops.ccl import connected_components
 from .ops.cluster_moments import extract_cluster_moments
+from .ops.resolve import resolve_components
 from .ops.decode import decode_quads
 from .ops.grayscale import grayscale
 from .ops.pose import estimate_poses
@@ -81,6 +82,35 @@ def _dedupe(valid, ids, margin, corners):
     return valid & ~suppressed
 
 
+def detect_tail(cfg: DetectorConfig, camera: CameraModel, family: TagFamily,
+                gray: jax.Array, trinary: jax.Array, label: jax.Array,
+                scan_converged: jax.Array) -> tuple[Detections, FrameStats]:
+    """The back half of the detector: CCL labels -> Detections.
+
+    Shared between the single-device detector and the row-sharded
+    SpatialDetector (parallel/spatial.py), whose front half produces the
+    same (trinary, label) pair sharded+gathered across the mesh.
+    """
+    # Sort-based chain resolution + component sizing + area-gated dense
+    # relabel (replaces the round-3 pointer jumps, component_sizes
+    # scatter, and relabel gather — see ops/resolve.py).
+    res = resolve_components(
+        label, trinary != 127,
+        min_component_pixels=cfg.min_component_pixels,
+        max_components=cfg.max_components,
+        chain_steps=cfg.ccl_resolve_steps)
+    ccl_converged = scan_converged & res.converged
+    dense = jax.lax.optimization_barrier(res.dense)
+    clusters = extract_cluster_moments(
+        trinary, dense,
+        comp_overflow=res.overflow,
+        max_edge_points=cfg.max_edge_points,
+        max_clusters=cfg.max_clusters,
+        min_cluster_pixels=cfg.min_cluster_pixels)
+    return _detect_from_clusters(cfg, camera, family, gray, clusters,
+                                 ccl_converged)
+
+
 def build_detect_fn(config: DetectorConfig, camera: CameraModel,
                     encoding: str = "rgb8"):
     """Returns a pure function image -> (Detections, FrameStats)."""
@@ -108,112 +138,111 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
         # scan step (measured 120x end-to-end slowdown at 1080p).
         gray, trinary = jax.lax.optimization_barrier((gray, trinary))
         if cfg.backend in ("pallas", "interpret"):
-            from .ops.pallas.ccl import connected_components_pallas
-            label, ccl_converged = connected_components_pallas(
-                trinary, cfg.ccl_rounds, cfg.ccl_jumps, cfg.ccl_jump_every,
-                interpret=cfg.backend == "interpret", with_convergence=True)
+            from .ops.pallas.ccl_fused import ccl_scan_pallas
+            label, scan_converged = ccl_scan_pallas(
+                trinary, cfg.ccl_scan_rounds,
+                interpret=cfg.backend == "interpret")
         else:
-            label, ccl_converged = connected_components(
+            label, scan_converged = connected_components(
                 trinary, cfg.ccl_rounds, cfg.ccl_jumps, cfg.ccl_jump_every,
                 with_convergence=True)
         label = jax.lax.optimization_barrier(label)
-        sizes = component_sizes(label)
-        sizes = jax.lax.optimization_barrier(sizes)
-        clusters = extract_cluster_moments(
-            trinary, label, sizes,
-            max_edge_points=cfg.max_edge_points,
-            max_clusters=cfg.max_clusters,
-            min_component_pixels=cfg.min_component_pixels,
-            min_cluster_pixels=cfg.min_cluster_pixels)
-        clusters = jax.lax.optimization_barrier(clusters)
-        quads = fit_quads_from_moments(
-            clusters, min_area=64.0 / (cfg.quad_decimate ** 2))
-        # Border polarity gate: normal families have a dark interior.
-        want_dark = not family.reversed_border
-        qvalid = quads.valid & (quads.dark_inside == want_dark)
-
-        # --- top candidate quads by fit quality ----------------------------
-        # Selecting BEFORE refine/decode halves the cost of the full-res
-        # sampling stages (they gather from the 8 MB image, the slow memory
-        # tier). Two safeguards against evicting real tags pre-decode:
-        # (a) the rank score favors LARGE quads (perimeter / (1 + fit_err));
-        #     raw fit_err alone lets tiny interior quads with near-zero
-        #     line-fit error outrank real tag borders;
-        # (b) a 2x margin above max_tags is decoded, so bad candidates can
-        #     still lose at decode time; the final top-max_tags cut is by
-        #     decision margin. max_tags is the reference's output capacity
-        #     (apriltag_node.cpp:564).
-        T = cfg.max_tags
-        T2 = min(2 * T, quads.valid.shape[0])
-        perim = jnp.sum(jnp.linalg.norm(
-            quads.corners - jnp.roll(quads.corners, 1, 1), axis=-1), axis=-1)
-        qscore = jnp.where(qvalid, perim / (1.0 + quads.fit_err), -jnp.inf)
-        top_qs, top_i = jax.lax.top_k(qscore, T2)
-        pre_valid = jnp.isfinite(top_qs)
-        qcorners = quads.corners[top_i]
-        qdark = quads.dark_inside[top_i]
-
-        # Subpixel edge refinement (AprilTag 3's refine_edges): removes the
-        # +-0.5 px quantization of the raw pair-midpoint boundary points and
-        # the quad_decimate quantization (corners move back to full-res).
-        corners = refine_edges(gray,
-                               _upscale_coords(qcorners, cfg.quad_decimate),
-                               qdark,
-                               search_range=cfg.quad_decimate + 1.0)
-
-        dec = decode_quads(gray, corners, family,
-                           max_hamming=cfg.max_hamming,
-                           decode_sharpening=cfg.decode_sharpening)
-        dec_valid = (pre_valid & dec.valid
-                     & (dec.margin >= cfg.min_decision_margin))
-        dec_valid = _dedupe(dec_valid, dec.id, dec.margin, dec.corners)
-
-        # Final top-max_tags cut by decision margin (the post-decode ranking
-        # the T2 pre-decode margin exists to enable).
-        fscore = jnp.where(dec_valid, dec.margin, -jnp.inf)
-        top_fs, top_f = jax.lax.top_k(fscore, T)
-        sel_valid = jnp.isfinite(top_fs)
-        sel_ids = dec.id[top_f]
-        sel_margin = dec.margin[top_f]
-        sel_ham = dec.hamming[top_f]
-        sel_corners = dec.corners[top_f]
-
-        # Center = intersection of the two diagonals, exactly as the
-        # reference's CUDA backend computes it (apriltag_node.cpp:520-530).
-        center = line_intersection(
-            sel_corners[:, 0], sel_corners[:, 2] - sel_corners[:, 0],
-            sel_corners[:, 1], sel_corners[:, 3] - sel_corners[:, 1])
-
-        poses = estimate_poses(sel_corners, camera.K, cfg.tag_size)
-
-        det = Detections(
-            valid=sel_valid,
-            id=jnp.where(sel_valid, sel_ids, -1),
-            hamming=sel_ham,
-            decision_margin=sel_margin,
-            center=center,
-            corners=sel_corners,
-            translation=poses.translation,
-            quaternion=poses.quaternion,
-            rotation=poses.rotation,
-        )
-        n_quads = jnp.sum(qvalid.astype(jnp.int32))
-        stats = FrameStats(
-            num_edge_points=clusters.num_edge_points,
-            num_clusters=clusters.num_clusters,
-            num_quads=n_quads,
-            num_detections=jnp.sum(sel_valid.astype(jnp.int32)),
-            edge_stride=clusters.edge_stride,
-            ccl_converged=ccl_converged,
-            # clusters.overflow covers hash-probe exhaustion and
-            # eligible-cluster truncation (num_eligible > max_clusters, NOT
-            # raw segment count — sub-threshold segments never get slots);
-            # additionally flag when valid quads exceeded the decode budget.
-            overflow=clusters.overflow | (n_quads > T2),
-        )
-        return det, stats
+        return detect_tail(cfg, camera, family, gray, trinary, label,
+                           scan_converged)
 
     return detect
+
+
+def _detect_from_clusters(cfg, camera, family, gray, clusters, ccl_converged
+                          ) -> tuple[Detections, FrameStats]:
+    clusters = jax.lax.optimization_barrier(clusters)
+    quads = fit_quads_from_moments(
+        clusters, min_area=64.0 / (cfg.quad_decimate ** 2))
+    # Border polarity gate: normal families have a dark interior.
+    want_dark = not family.reversed_border
+    qvalid = quads.valid & (quads.dark_inside == want_dark)
+
+    # --- top candidate quads by fit quality ----------------------------
+    # Selecting BEFORE refine/decode halves the cost of the full-res
+    # sampling stages (they gather from the 8 MB image, the slow memory
+    # tier). Two safeguards against evicting real tags pre-decode:
+    # (a) the rank score favors LARGE quads (perimeter / (1 + fit_err));
+    #     raw fit_err alone lets tiny interior quads with near-zero
+    #     line-fit error outrank real tag borders;
+    # (b) a 2x margin above max_tags is decoded, so bad candidates can
+    #     still lose at decode time; the final top-max_tags cut is by
+    #     decision margin. max_tags is the reference's output capacity
+    #     (apriltag_node.cpp:564).
+    T = cfg.max_tags
+    T2 = min(2 * T, quads.valid.shape[0])
+    perim = jnp.sum(jnp.linalg.norm(
+        quads.corners - jnp.roll(quads.corners, 1, 1), axis=-1), axis=-1)
+    qscore = jnp.where(qvalid, perim / (1.0 + quads.fit_err), -jnp.inf)
+    top_qs, top_i = jax.lax.top_k(qscore, T2)
+    pre_valid = jnp.isfinite(top_qs)
+    qcorners = quads.corners[top_i]
+    qdark = quads.dark_inside[top_i]
+
+    # Subpixel edge refinement (AprilTag 3's refine_edges): removes the
+    # +-0.5 px quantization of the raw pair-midpoint boundary points and
+    # the quad_decimate quantization (corners move back to full-res).
+    corners = refine_edges(gray,
+                           _upscale_coords(qcorners, cfg.quad_decimate),
+                           qdark,
+                           search_range=cfg.quad_decimate + 1.0)
+
+    dec = decode_quads(gray, corners, family,
+                       max_hamming=cfg.max_hamming,
+                       decode_sharpening=cfg.decode_sharpening)
+    dec_valid = (pre_valid & dec.valid
+                 & (dec.margin >= cfg.min_decision_margin))
+    dec_valid = _dedupe(dec_valid, dec.id, dec.margin, dec.corners)
+
+    # Final top-max_tags cut by decision margin (the post-decode ranking
+    # the T2 pre-decode margin exists to enable).
+    fscore = jnp.where(dec_valid, dec.margin, -jnp.inf)
+    top_fs, top_f = jax.lax.top_k(fscore, T)
+    sel_valid = jnp.isfinite(top_fs)
+    sel_ids = dec.id[top_f]
+    sel_margin = dec.margin[top_f]
+    sel_ham = dec.hamming[top_f]
+    sel_corners = dec.corners[top_f]
+
+    # Center = intersection of the two diagonals, exactly as the
+    # reference's CUDA backend computes it (apriltag_node.cpp:520-530).
+    center = line_intersection(
+        sel_corners[:, 0], sel_corners[:, 2] - sel_corners[:, 0],
+        sel_corners[:, 1], sel_corners[:, 3] - sel_corners[:, 1])
+
+    poses = estimate_poses(sel_corners, camera.K, cfg.tag_size)
+
+    det = Detections(
+        valid=sel_valid,
+        id=jnp.where(sel_valid, sel_ids, -1),
+        hamming=sel_ham,
+        decision_margin=sel_margin,
+        center=center,
+        corners=sel_corners,
+        translation=poses.translation,
+        quaternion=poses.quaternion,
+        rotation=poses.rotation,
+    )
+    n_quads = jnp.sum(qvalid.astype(jnp.int32))
+    stats = FrameStats(
+        num_edge_points=clusters.num_edge_points,
+        num_clusters=clusters.num_clusters,
+        num_quads=n_quads,
+        num_detections=jnp.sum(sel_valid.astype(jnp.int32)),
+        edge_stride=clusters.edge_stride,
+        ccl_converged=ccl_converged,
+        # clusters.overflow covers hash-probe exhaustion and
+        # eligible-cluster truncation (num_eligible > max_clusters, NOT
+        # raw segment count — sub-threshold segments never get slots);
+        # additionally flag when valid quads exceeded the decode budget.
+        overflow=clusters.overflow | (n_quads > T2),
+    )
+    return det, stats
+
 
 
 class Detector:

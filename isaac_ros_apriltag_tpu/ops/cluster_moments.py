@@ -17,10 +17,14 @@ speed, measured on hardware (tools/profile_microops.py, RTT-corrected):
 
 Pipeline (no per-pair gathers or scatters anywhere):
 
-  1. dense component relabel folding in AprilTag's component-area gate
-     (one gather + cumsum), then dense pair generation over 4 neighbor
-     offsets (elementwise); on overflow of the pair budget E the stream is
-     hash-decimated (uniform spatial subsample, not scan-order truncation);
+  1. dense pair generation over 4 neighbor offsets (elementwise) from the
+     area-gated dense component image produced by ops/resolve.py (which owns
+     AprilTag's component-area gate — load-bearing under sensor noise:
+     ungated speckle pairs inflate the stream several fold, drive the
+     overflow stride up, and crush real tag clusters into the noise-count
+     range; measured 673k vs ~200k pairs at noisy 1080p); on overflow of
+     the pair budget E the stream is hash-decimated (uniform spatial
+     subsample, not scan-order truncation);
   2. ONE sort of the full pair stream by the packed (black, white) dense-id
      key compacts valid pairs AND groups clusters contiguously;
   3. segment stats (count, centroid, scale, gradient polarity) via
@@ -44,9 +48,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .resolve import _KBITS, _KMAX, _seg_scan
+
 _I32MAX = jnp.iinfo(jnp.int32).max
-_KBITS = 15                  # dense component ids: [0, 2^15); key fits int32
-_KMAX = (1 << _KBITS) - 1    # sentinel dense id for ineligible components
 NBINS = 64                   # angular bins (matches ops/quadfit.py)
 
 # Neighbor offsets (dx, dy), matching AprilTag 3's gradient_clusters scan
@@ -108,25 +112,11 @@ def _diamond_bin(dx: jax.Array, dy: jax.Array, nbins: int) -> jax.Array:
     return jnp.clip((t * (nbins / 4.0)).astype(jnp.int32), 0, nbins - 1)
 
 
-def _seg_scan(vals, first, op):
-    """Inclusive segmented associative scan along axis 0.
-
-    first: (E, 1) bool — True starts a new segment. op combines values
-    within a segment (classic segmented-scan semiring: a segment-start on
-    the right wins outright)."""
-    def comb(a, b):
-        va, fa = a
-        vb, fb = b
-        return jnp.where(fb, vb, op(va, vb)), fa | fb
-
-    out, _ = jax.lax.associative_scan(comb, (vals, first), axis=0)
-    return out
-
-
-def extract_cluster_moments(trinary: jax.Array, label: jax.Array,
-                            sizes: jax.Array, *, max_edge_points: int,
-                            max_clusters: int, min_component_pixels: int,
+def extract_cluster_moments(trinary: jax.Array, dense: jax.Array, *,
+                            comp_overflow: jax.Array, max_edge_points: int,
+                            max_clusters: int,
                             min_cluster_pixels: int) -> ClusterMoments:
+    """trinary + area-gated dense component ids (ops/resolve.py) -> moments."""
     H, W = trinary.shape
     # The compaction slice can never exceed the raw pair-stream length
     # (tiny frames would otherwise mismatch downstream shapes).
@@ -137,25 +127,9 @@ def extract_cluster_moments(trinary: jax.Array, label: jax.Array,
             "packed coords support segmentation images up to 2047x2047; "
             f"got {H}x{W} — use quad_decimate for larger frames")
 
-    # --- dense component relabel (folds in AprilTag's area gate) ------------
-    # Pairs join the stream only when BOTH components have pixel area >=
-    # min_component_pixels (AprilTag 3's same rule). This is load-bearing
-    # under sensor noise: ungated speckle pairs inflate the stream several
-    # fold, drive the overflow stride up, and crush real tag clusters into
-    # the noise-count range (measured: 673k vs ~200k pairs at noisy 1080p).
-    # One (H*W,) gather + cumsum; everything downstream stays per-pair
-    # gather-free.
-    flat_label = label.reshape(-1)
-    idx = jnp.arange(H * W, dtype=jnp.int32)
-    is_root = flat_label == idx
-    eligible_c = is_root & (sizes >= min_component_pixels)
-    rank = jnp.cumsum(eligible_c.astype(jnp.int32)) - 1
-    n_comps = rank[-1] + 1
-    dense_of_root = jnp.where(eligible_c & (rank < _KMAX), rank, _KMAX)
-    dense = dense_of_root[flat_label].reshape(H, W)     # one (H*W,) gather
-    comp_overflow = n_comps > _KMAX
-
     # --- dense pair generation (4 offsets), elementwise ---------------------
+    # Pairs join the stream only when BOTH components carry a dense id, i.e.
+    # both passed resolve's area gate (AprilTag 3's same rule).
     key_all, pay_all, m_all = [], [], []
     xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
     ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
@@ -182,8 +156,12 @@ def extract_cluster_moments(trinary: jax.Array, label: jax.Array,
     key, pay, mask = jax.lax.optimization_barrier((key, pay, mask))
 
     # --- overflow decimation (hash gate, uniform spatial subsample) ---------
+    # Stride is computed against a 90% budget so hash skew (the keep count is
+    # only ~num_edge/stride) cannot push the kept stream past E, where the
+    # post-sort [:E] slice would truncate the highest-key segments wholesale.
     num_edge = jnp.sum(mask.astype(jnp.int32))
-    stride = jnp.maximum((num_edge + E - 1) // E, 1)
+    budget = (9 * E) // 10
+    stride = jnp.maximum((num_edge + budget - 1) // budget, 1)
     # Multiplicative hash, HIGH bits: the low bits of pay*odd are not mixed
     # (bit 0 of the product equals bit 0 of pay = dx!), so `% stride` on the
     # raw product would decimate by edge ORIENTATION, deleting two whole

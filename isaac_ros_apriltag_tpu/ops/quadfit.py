@@ -218,8 +218,12 @@ def _fit_quads_bins(B, centroid, scale, dark_inside, n, cluster_valid, *,
     ang_ok = jnp.all(jnp.abs(cosang) < critical_cos, -1)
     finite_ok = jnp.all(jnp.isfinite(corners), (-2, -1))
 
+    # cluster_valid is redundant with n >= 8 today (invalid slots have count
+    # zeroed upstream) but is gated explicitly so an upstream change that
+    # leaves count nonzero for an invalid slot can never emit a quad from a
+    # garbage moment table.
     gates = jnp.stack([have_combo, mse_ok, area_ok, ang_ok, finite_ok,
-                       n >= 8], -1)                     # (C, 6)
+                       n >= 8, cluster_valid], -1)      # (C, 7)
     valid = jnp.all(gates, -1)
 
     # Normalize winding: force positive signed area (y-down CCW) so corner

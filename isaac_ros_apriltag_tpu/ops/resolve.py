@@ -1,0 +1,188 @@
+"""Sort-based component resolution: labels -> gated dense component ids.
+
+Replaces THREE per-pixel passes of the round-3 pipeline with one sort-centric
+stage (measured costs in parentheses, 960x540 segmentation image on TPU):
+
+  - the CCL pointer-jump gathers (`label = label[label]`, ~4 ms per rationed
+    jump round — the dominant CCL cost);
+  - `component_sizes` (a full-image scatter-add, 4.3 ms — scatters serialize
+    at ~7 ns/element on this hardware);
+  - the dense relabel gather inside cluster extraction (3.9 ms).
+
+The idea: a scan-only CCL (ops/pallas/ccl_fused.py) leaves each pixel's label
+pointing at SOME pixel of its component, with short parent chains
+(label[label[...]] strictly decreases to the component's min flat index).
+Chains are resolved here on the COMPACTED set of distinct labels — tens of
+thousands, not half a million — where the serializing gathers are cheap.
+All full-image work is sorts and segmented scans, which this TPU runs at
+vector speed (see CLAUDE.md performance model).
+
+Pipeline:
+  1. sort pixels by label (invalid pixels carry a sentinel key and sink to
+     the end); group starts mark the distinct labels;
+  2. a second sort compacts the group-start positions into a static
+     (max_components,) table: D_k = k-th distinct label, P_k = its position
+     in the sorted pixel stream, cnt_k = pixels holding it directly;
+  3. chain resolution: par_k = flat_label[D_k], then `chain_steps` pointer
+     DOUBLINGS of the compacted map (each an (R,)-gather; depth 2^steps).
+     Labels strictly decrease along chains, so the fixpoint is the
+     component's min flat index — the label a fully-converged CCL (the XLA
+     oracle with pointer jumps) assigns. (Spatially under-converged SPLITS
+     — two sub-regions with no pointer path, only possible in sprawling
+     percolation-noise components — are NOT merged here; tag-sized
+     components converge inside the kernel's scan rounds, and detection
+     only needs labels CONSISTENT within each tag border, not globally
+     equal to the oracle's: tests/test_resolve.py asserts detection-level
+     parity on noisy scenes);
+  4. component sizes: segmented-sum of cnt_k grouped by root (one tiny
+     sort); AprilTag's component-area gate (>= min_component_pixels) and
+     the dense ranking of eligible roots happen here — the rank order
+     (ascending root flat index) is bit-identical to the round-3 relabel;
+  5. the dense id is broadcast back to pixels with a seed-scatter at the
+     P_k positions + one segmented copy-scan, and un-sorted to image order
+     with one final sort.
+
+The reference hides its equivalent (union-find inside cuAprilTags/VPI
+binaries) behind closed calls (ref: isaac_ros_apriltag/src/
+apriltag_node.cpp:491-493, :290-293).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_KBITS = 15                  # dense component ids: [0, 2^15); pair key fits int32
+_KMAX = (1 << _KBITS) - 1    # sentinel dense id for ineligible components
+
+
+def _seg_scan(vals, first, op):
+    """Inclusive segmented associative scan along axis 0.
+
+    first: (E, 1) bool — True starts a new segment. op combines values
+    within a segment (segmented-scan semiring: a segment-start on the right
+    wins outright)."""
+    def comb(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, op(va, vb)), fa | fb
+
+    out, _ = jax.lax.associative_scan(comb, (vals, first), axis=0)
+    return out
+
+
+class ResolvedComponents(NamedTuple):
+    dense: jax.Array        # (H, W) int32 in [0, _KMAX]; _KMAX = gated out
+    n_eligible: jax.Array   # () int32 components passing the area gate
+    overflow: jax.Array     # () bool — a static capacity was exceeded
+    converged: jax.Array    # () bool — parent chains fully resolved
+    roots: jax.Array | None  # (H, W) int32 min-flat-index root per pixel
+    #   (only when with_roots=True; equals a fully-converged CCL labeling)
+
+
+def resolve_components(label: jax.Array, valid: jax.Array, *,
+                       min_component_pixels: int,
+                       max_components: int = 1 << 16,
+                       chain_steps: int = 4,
+                       with_roots: bool = False) -> ResolvedComponents:
+    """(H, W) CCL labels + validity mask -> area-gated dense component ids.
+
+    `label` must satisfy the scan-CCL invariants: label[p] is the flat index
+    of a pixel in p's component with label[p] <= p, and repeated application
+    reaches a chain fixpoint (`chain_steps` pointer doublings resolve chains
+    up to depth 2^chain_steps — `converged` reports whether that sufficed).
+    """
+    H, W = label.shape
+    N = H * W
+    R = min(max_components, N)
+    flat = label.reshape(-1)
+    vflat = valid.reshape(-1)
+    idx = jnp.arange(N, dtype=jnp.int32)
+
+    # --- sort 1: pixels grouped by label; invalid sink to the end ----------
+    key = jnp.where(vflat, flat, N)
+    lab_s, idx_s = jax.lax.sort((key, idx), num_keys=1)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), lab_s[:-1]])
+    bnd = lab_s != prev                 # segment boundary (incl. invalid tail)
+    vs = lab_s != N
+    first = vs & bnd                    # start of a distinct VALID label group
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_groups = rank[-1] + 1
+    n_valid_pix = jnp.sum(vs.astype(jnp.int32))
+
+    # --- compact group starts into the (R,) table --------------------------
+    ckey = jnp.where(first, rank, N)
+    _, P, D = jax.lax.sort((ckey, idx, lab_s), num_keys=1)
+    P, D = P[:R], D[:R]
+    ks = jnp.arange(R, dtype=jnp.int32)
+    kvalid = ks < n_groups
+    D = jnp.where(kvalid, D, N)
+    nxt = jnp.concatenate([P[1:], jnp.zeros((1,), jnp.int32)])
+    nxt = jnp.where(ks == n_groups - 1, n_valid_pix, nxt)
+    cnt = jnp.where(kvalid, nxt - P, 0)
+
+    # --- chain resolution on the compacted labels (pointer DOUBLING) -------
+    # Measured chain depth after 16 scan rounds on noisy scenes: up to ~14.
+    # Composing the compacted parent map with itself halves the remaining
+    # depth per step, so `chain_steps` doublings resolve depth 2^chain_steps
+    # with one (R,)-gather per step. flatp[N] == N keeps sentinels fixed.
+    flatp = jnp.concatenate([flat, jnp.full((1,), N, jnp.int32)])
+    par = flatp[D]
+    # inv: label value -> compacted index; sentinel labels -> self-looping
+    # extra slot R. (Invalid slots scatter to a scratch position N+1.)
+    inv = (jnp.full((N + 2,), R, jnp.int32)
+           .at[jnp.where(kvalid, D, N + 1)].set(ks)[:N + 1])
+    parx = jnp.concatenate([inv[par], jnp.full((1,), R, jnp.int32)])
+    prev = parx
+    for _ in range(max(chain_steps, 1)):
+        prev = parx
+        parx = parx[parx]
+    converged = jnp.all(parx == prev)
+    Dx = jnp.concatenate([D, jnp.full((1,), N, jnp.int32)])
+    root = jnp.where(kvalid, Dx[parx[:R]], N)
+
+    # --- component sizes + area gate + dense ranking (root order) ----------
+    rkey, rcnt, korder = jax.lax.sort((root, cnt, ks), num_keys=1)
+    rprev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), rkey[:-1]])
+    rfirst = rkey != rprev
+    run = _seg_scan(rcnt[:, None], rfirst[:, None], lambda a, b: a + b)[:, 0]
+    nxt_first = jnp.concatenate([rfirst[1:], jnp.ones((1,), bool)])
+    tot_at_last = jnp.where(nxt_first, run, 0)
+    size_m = jnp.flip(_seg_scan(jnp.flip(tot_at_last)[:, None],
+                                jnp.flip(nxt_first)[:, None],
+                                lambda a, b: a), 0)[:, 0]
+    eligible = (rkey != N) & (size_m >= min_component_pixels)
+    new_comp = rfirst & eligible
+    crank = jnp.cumsum(new_comp.astype(jnp.int32)) - 1
+    n_eligible = crank[-1] + 1
+    dense_m = jnp.where(eligible & (crank < _KMAX), crank, _KMAX)
+    # back to k-order (one small sort); carry the root for with_roots
+    _, dense_k, root_k = jax.lax.sort((korder, dense_m, rkey), num_keys=1)
+
+    # --- broadcast to pixels: seed at P, segmented copy, un-sort -----------
+    seedpos = jnp.where(kvalid, P, N)
+    seed_d = (jnp.full((N + 1,), -1, jnp.int32)
+              .at[seedpos].set(jnp.where(kvalid, dense_k, -1))[:N])
+    fields = [seed_d]
+    if with_roots:
+        seed_r = (jnp.full((N + 1,), -1, jnp.int32)
+                  .at[seedpos].set(jnp.where(kvalid, root_k, -1))[:N])
+        fields.append(seed_r)
+    bcast = _seg_scan(jnp.stack(fields, -1), bnd[:, None], lambda a, b: a)
+    dense_sorted = jnp.where(bcast[:, 0] >= 0, bcast[:, 0], _KMAX)
+    if with_roots:
+        _, dense_flat, root_flat = jax.lax.sort(
+            (idx_s, dense_sorted, bcast[:, 1]), num_keys=1)
+        # invalid / overflowed pixels keep their incoming label as root
+        roots = jnp.where(valid & (root_flat.reshape(H, W) >= 0),
+                          root_flat.reshape(H, W), label)
+    else:
+        _, dense_flat = jax.lax.sort((idx_s, dense_sorted), num_keys=1)
+        roots = None
+
+    overflow = (n_groups > R) | (n_eligible > _KMAX)
+    return ResolvedComponents(dense=dense_flat.reshape(H, W),
+                              n_eligible=n_eligible, overflow=overflow,
+                              converged=converged, roots=roots)

@@ -62,11 +62,15 @@ def _fill_edge(band, axis_name, which, nshards, fill):
 
 
 def spatial_threshold(gray_band: jax.Array, ts: int, min_diff: int,
-                      axis_name: str, nshards: int) -> jax.Array:
+                      axis_name: str, nshards: int,
+                      backend: str = "xla") -> jax.Array:
     """Sharded adaptive threshold, bit-identical to the single-device op.
 
     gray_band: this shard's (Hb, W) rows of the segmentation image; Hb must
     be a multiple of ts. Halo = 2*ts rows each side (tile stats + dilation).
+    backend: 'xla' or 'pallas'/'interpret' (the Pallas threshold kernel runs
+    per shard on its padded band; bit-identical to the XLA op, so the
+    sharded result stays bit-identical too).
     """
     halo = 2 * ts
     above, below = _neighbor_rows(gray_band, halo, axis_name, nshards)
@@ -77,7 +81,12 @@ def spatial_threshold(gray_band: jax.Array, ts: int, min_diff: int,
     below = jnp.where(jax.lax.axis_index(axis_name) == nshards - 1,
                       jnp.broadcast_to(gray_band[-1:], below.shape), below)
     padded = jnp.concatenate([above, gray_band, below], 0)
-    tri = adaptive_threshold(padded, ts, min_diff)
+    if backend in ("pallas", "interpret"):
+        from ..ops.pallas.threshold import adaptive_threshold_pallas
+        tri = adaptive_threshold_pallas(padded, ts, min_diff,
+                                        interpret=backend == "interpret")
+    else:
+        tri = adaptive_threshold(padded, ts, min_diff)
     return tri[halo:halo + gray_band.shape[0]]
 
 
@@ -132,23 +141,41 @@ def spatial_ccl(tri_band: jax.Array, y0: jax.Array, W: int, axis_name: str,
 
 def build_spatial_front_fn(config: DetectorConfig, camera: CameraModel,
                            mesh: Mesh, axis: str = "y",
-                           encoding: str = "mono8", outer_rounds: int = 3):
+                           encoding: str = "mono8",
+                           outer_rounds: int | None = None):
     """jit-compiled sharded front half: (H, W) frame -> (trinary, label).
 
     The frame enters replicated; decimate/threshold/CCL run row-sharded
     over `axis`; the outputs are all-gathered (replicated) and are EXACTLY
     equal to the single-device ops' outputs (asserted in
     tests/test_spatial.py), so the detector tail consumes them unchanged.
+
+    outer_rounds: halo-merge rounds. A component spanning k shard cuts
+    needs ~k merge rounds, so the default scales with the mesh:
+    max(3, nshards - 1).
     """
+    front = _build_front(config, camera, mesh, axis, encoding, outer_rounds)
+    return jax.jit(lambda frame: front(frame)[1:])
+
+
+def _build_front(config: DetectorConfig, camera: CameraModel, mesh: Mesh,
+                 axis: str, encoding: str, outer_rounds: int | None):
+    """Unjitted sharded front: frame -> (gray, trinary, label)."""
     cfg = config
     nshards = mesh.shape[axis]
+    if outer_rounds is None:
+        outer_rounds = max(3, nshards - 1)
 
     H = camera.height // cfg.quad_decimate
-    Hp = -(-H // cfg.tile_size) * cfg.tile_size
-    if Hp % nshards or (Hp // nshards) % cfg.tile_size:
-        raise ValueError(
-            f"segmentation height {Hp} must split into tile-aligned bands "
-            f"across {nshards} shards")
+    Hp0 = -(-H // cfg.tile_size) * cfg.tile_size
+    # Bands must start on GLOBAL tile boundaries for the threshold to be
+    # bit-identical to the single-device op; when Hp0 doesn't split into
+    # tile-aligned bands, pad with edge rows to the next aligned height and
+    # crop after the gather. Padded rows are forced to 127 before CCL; when
+    # padding engages, the bottom tile row's dilated threshold stats may
+    # differ from the single-device op's (detections are unaffected — tags
+    # touching the absolute bottom edge are already truncated).
+    Hp = -(-Hp0 // (nshards * cfg.tile_size)) * (nshards * cfg.tile_size)
 
     def fn(frame):
         from ..detector import _decimate, _pad_to_tiles
@@ -156,13 +183,20 @@ def build_spatial_front_fn(config: DetectorConfig, camera: CameraModel,
 
         gray = grayscale(frame, encoding)
         seg = _pad_to_tiles(_decimate(gray, cfg.quad_decimate), cfg.tile_size)
+        if Hp != Hp0:
+            seg = jnp.pad(seg, ((0, Hp - Hp0), (0, 0)), mode="edge")
         band = seg.reshape(nshards, Hp // nshards, seg.shape[-1])
 
         def per_shard(b):
             b = b.reshape(b.shape[-2], b.shape[-1])
             tri = spatial_threshold(b, cfg.tile_size,
-                                    cfg.min_white_black_diff, axis, nshards)
+                                    cfg.min_white_black_diff, axis, nshards,
+                                    backend=cfg.backend)
             y0 = jax.lax.axis_index(axis) * (Hp // nshards)
+            if Hp != Hp0:
+                rows = y0 + jax.lax.broadcasted_iota(
+                    jnp.int32, tri.shape, 0)
+                tri = jnp.where(rows < Hp0, tri, jnp.uint8(127))
             lab = spatial_ccl(tri, y0, tri.shape[-1], axis, nshards,
                               rounds=cfg.ccl_rounds, outer=outer_rounds)
             tri_full = jax.lax.all_gather(tri, axis, axis=0,
@@ -170,7 +204,53 @@ def build_spatial_front_fn(config: DetectorConfig, camera: CameraModel,
             lab_full = jax.lax.all_gather(lab, axis, axis=0, tiled=True)
             return tri_full, lab_full
 
-        return jax.shard_map(per_shard, mesh=mesh, in_specs=P(axis),
-                             out_specs=P(), check_vma=False)(band)
+        tri_full, lab_full = jax.shard_map(
+            per_shard, mesh=mesh, in_specs=P(axis), out_specs=P(),
+            check_vma=False)(band)
+        return gray, tri_full[:Hp0], lab_full[:Hp0]
 
-    return jax.jit(fn)
+    return fn
+
+
+class SpatialDetector:
+    """One-call row-sharded detector: ONE frame split across the device mesh
+    (survey §5.7a — the multi-chip analog of the reference's 8 MP workload,
+    ref: isaac_ros_apriltag/README.md:24-26).
+
+    The pixel-dominant front half (decimate -> threshold -> CCL with
+    ppermute halo merges) runs row-sharded over `axis`; the data-light tail
+    (resolve -> clusters -> quads -> refine -> decode -> pose) runs
+    replicated after an all_gather, inside the SAME jit region. Detections
+    equal the single-device Detector's (asserted in tests/test_spatial.py).
+    """
+
+    def __init__(self, config: DetectorConfig, camera: CameraModel,
+                 mesh: Mesh, axis: str = "y", encoding: str = "mono8",
+                 outer_rounds: int | None = None):
+        from ..detector import detect_tail
+        from ..models.families import get_family
+
+        self.config = cfg = config
+        self.camera = camera
+        self.mesh = mesh
+        family = get_family(cfg.tag_family)
+        front = _build_front(config, camera, mesh, axis, encoding,
+                             outer_rounds)
+
+        def fn(frame):
+            gray, tri_full, lab_full = front(frame)
+            # The sharded CCL carries no per-round convergence flag; the
+            # resolve stage's chain-fixpoint flag inside detect_tail is the
+            # convergence telemetry for this path.
+            return detect_tail(cfg, camera, family, gray, tri_full, lab_full,
+                               jnp.bool_(True))
+
+        self._jitted = jax.jit(fn)
+        self.fn = fn
+
+    def detect(self, frame):
+        det, _ = self._jitted(jnp.asarray(frame))
+        return det
+
+    def detect_with_stats(self, frame):
+        return self._jitted(jnp.asarray(frame))

@@ -21,7 +21,7 @@ from .camera.model import CameraModel
 from .config import DetectorConfig
 from .detector import build_detect_fn
 from .ops.grayscale import grayscale
-from .ops.remap import remap_bilinear, resize_area
+from .ops.remap import SeparableRectify, remap_bilinear, resize_area
 from .types import Detections, FrameStats
 
 
@@ -30,20 +30,29 @@ class GraphPipeline:
 
     Reproduces the reference's "AprilTag Graph" benchmark configuration and
     the 8 MP -> 4:1 downscale path (README.md:24-26, :70).
+
+    Rectification uses the banded separable warp by default (pure VPU
+    shift-mul-accumulate; see ops/remap.py) — the gather-based
+    `remap_bilinear` oracle serializes at ~7 ns/tap on this TPU.
+    Set `exact_remap=True` to force the oracle path.
     """
 
     def __init__(self, config: DetectorConfig, camera: CameraModel,
-                 downscale: int = 1, encoding: str = "rgb8"):
+                 downscale: int = 1, encoding: str = "rgb8",
+                 exact_remap: bool = False):
         self.config = config
         self.camera = camera
         self.downscale = int(downscale)
         self.encoding = encoding
 
+        self._grid = None
+        self._rectify = None
         if camera.has_distortion():
             grid = camera.rectify_map()
-            self._grid = jnp.asarray(grid)
-        else:
-            self._grid = None
+            if exact_remap:
+                self._grid = jnp.asarray(grid)
+            else:
+                self._rectify = SeparableRectify.from_grid(np.asarray(grid))
         self.detect_camera = camera.scaled(1.0 / self.downscale) \
             if self.downscale > 1 else camera
         self._detect = build_detect_fn(config, self.detect_camera, "mono8")
@@ -56,7 +65,9 @@ class GraphPipeline:
 
     def _run(self, image: jax.Array) -> tuple[Detections, FrameStats]:
         gray = grayscale(image, self.encoding)
-        if self._grid is not None:
+        if self._rectify is not None:
+            gray = self._rectify(gray)
+        elif self._grid is not None:
             gray = remap_bilinear(gray, self._grid)
         if self.downscale > 1:
             gray = resize_area(gray, self.downscale)

@@ -20,6 +20,21 @@ from typing import Callable, Iterable, Iterator
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(tree):
+    """Force completion of `tree` with a HOST READBACK of one scalar.
+
+    jax.block_until_ready does NOT synchronize on the tunneled axon TPU
+    platform (see CLAUDE.md / bench.py methodology note); without a real
+    sync the in-flight window is unbounded and the async queue degrades
+    ~30x. Device execution is in-order, so reading back a single element
+    of the result bounds all work queued before it.
+    """
+    leaf = jax.tree.leaves(tree)[0]
+    np.asarray(leaf.ravel()[:1])
+    return tree
 
 
 class StreamingRunner:
@@ -41,13 +56,9 @@ class StreamingRunner:
             out = self.fn(x)
             inflight.append(out)
             if len(inflight) >= self.depth:
-                ready = inflight.popleft()
-                jax.block_until_ready(ready)
-                yield ready
+                yield _sync(inflight.popleft())
         while inflight:
-            ready = inflight.popleft()
-            jax.block_until_ready(ready)
-            yield ready
+            yield _sync(inflight.popleft())
 
 
 def run_stream(fn: Callable, frames: Iterable, depth: int = 2) -> list:

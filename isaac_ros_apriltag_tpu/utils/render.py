@@ -151,3 +151,38 @@ GOLDEN = dict(
                 [0.0, 0.0, 1.0]]),
     size=(1080, 1920),
 )
+
+
+def distort_image(ideal: np.ndarray, camera) -> np.ndarray:
+    """Synthesize the DISTORTED sensor image from an ideal pinhole render.
+
+    Distorted pixel (ud, vd) images the ray the ideal camera sees at
+    K @ undistort(K^-1 (ud, vd)); undistort inverts the plumb_bob forward
+    model by fixed-point iteration (coefficients are small). Used to build
+    rectify-pipeline fixtures from rendered scenes (the inverse of
+    camera.rectify_map()'s forward model).
+    """
+    K = np.asarray(camera.K, np.float64)
+    k1, k2, p1, p2, k3 = np.asarray(camera.dist, np.float64)
+    H, W = ideal.shape
+    u, v = np.meshgrid(np.arange(W, dtype=np.float64),
+                       np.arange(H, dtype=np.float64))
+    xd = (u - K[0, 2]) / K[0, 0]
+    yd = (v - K[1, 2]) / K[1, 1]
+    x, y = xd.copy(), yd.copy()
+    for _ in range(12):
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        dx = 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+        dy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+        x = (xd - dx) / radial
+        y = (yd - dy) / radial
+    su = np.clip(K[0, 0] * x + K[0, 2], 0, W - 1.001)
+    sv = np.clip(K[1, 1] * y + K[1, 2], 0, H - 1.001)
+    u0 = np.floor(su).astype(np.int64)
+    v0 = np.floor(sv).astype(np.int64)
+    fu, fv = su - u0, sv - v0
+    im = ideal.astype(np.float64)
+    out = (im[v0, u0] * (1 - fu) * (1 - fv) + im[v0, u0 + 1] * fu * (1 - fv)
+           + im[v0 + 1, u0] * (1 - fu) * fv + im[v0 + 1, u0 + 1] * fu * fv)
+    return np.clip(out, 0, 255).astype(np.uint8)

@@ -88,3 +88,44 @@ def test_config_validation():
         DetectorConfig(backend="cuda")
     with pytest.raises(ValueError, match="max_hamming"):
         DetectorConfig(tag_family="tag16h5", max_hamming=3)
+
+
+def test_register_family_vendoring_path():
+    """The vendoring hook for the five non-published codebooks: a user with
+    the OFFICIAL table (e.g. vendored from the AprilTag 3 sources) registers
+    it under the family name and the whole stack — config validation,
+    Detector construction, rendering, end-to-end decode — honors the
+    injected table instead of the built-in stand-in.
+
+    Simulated here by injecting a REVERSED-order tagCircle21h7 codebook:
+    the rendered codeword for id k is then the stand-in's id (n-1-k), so a
+    correct decode proves the detector consulted the injected table.
+    """
+    import dataclasses as dc
+
+    import jax
+
+    from isaac_ros_apriltag_tpu import CameraModel, Detector, DetectorConfig
+    from isaac_ros_apriltag_tpu.models import families
+    from isaac_ros_apriltag_tpu.utils.render import render_tags, upright_pose
+
+    standin = families.get_family("tagCircle21h7")
+    vendored = dc.replace(standin, codes=standin.codes[::-1].copy(), exact=True)
+    families.register_family(vendored)
+    try:
+        fam = families.get_family("tagCircle21h7")
+        assert fam.exact and fam.codes[0] == standin.codes[-1]
+        cam = CameraModel.create(fx=420.0, fy=420.0, cx=320.0, cy=240.0,
+                                 width=640, height=480)
+        t = np.array([0.0, 0.02, 0.7])
+        img = render_tags(np.asarray(cam.K), (480, 640),
+                          [dict(family=fam, id=5, R=upright_pose(t), t=t,
+                                tag_size=0.16)])
+        det = Detector(DetectorConfig(tag_family="tagCircle21h7",
+                                      backend="xla", tag_size=0.16), cam)
+        rows = det.detect(img, encoding="mono8").to_list()
+        assert len(rows) == 1 and rows[0]["id"] == 5
+        # the same bitmap under the BUILT-IN table would decode to n-1-5
+        assert standin.ncodes - 1 - 5 != 5
+    finally:
+        families.register_family(standin)   # restore for other tests

@@ -23,37 +23,7 @@ REF_D = [0.065725, -0.096954, 0.002318, 0.004110, 0.0]
 REF_W, REF_H = 1280, 720
 
 
-def distort_image(ideal: np.ndarray, cam: CameraModel) -> np.ndarray:
-    """Synthesize the DISTORTED sensor image from an ideal pinhole render.
-
-    Distorted pixel (ud, vd) images the ray the ideal camera sees at
-    K @ undistort(K^-1 (ud, vd)); undistort inverts the plumb_bob forward
-    model by fixed-point iteration (coefficients are small).
-    """
-    K = np.asarray(cam.K, np.float64)
-    k1, k2, p1, p2, k3 = np.asarray(cam.dist, np.float64)
-    H, W = ideal.shape
-    u, v = np.meshgrid(np.arange(W, dtype=np.float64),
-                       np.arange(H, dtype=np.float64))
-    xd = (u - K[0, 2]) / K[0, 0]
-    yd = (v - K[1, 2]) / K[1, 1]
-    x, y = xd.copy(), yd.copy()
-    for _ in range(12):
-        r2 = x * x + y * y
-        radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
-        dx = 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
-        dy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
-        x = (xd - dx) / radial
-        y = (yd - dy) / radial
-    su = np.clip(K[0, 0] * x + K[0, 2], 0, W - 1.001)
-    sv = np.clip(K[1, 1] * y + K[1, 2], 0, H - 1.001)
-    u0 = np.floor(su).astype(np.int64)
-    v0 = np.floor(sv).astype(np.int64)
-    fu, fv = su - u0, sv - v0
-    im = ideal.astype(np.float64)
-    out = (im[v0, u0] * (1 - fu) * (1 - fv) + im[v0, u0 + 1] * fu * (1 - fv)
-           + im[v0 + 1, u0] * (1 - fu) * fv + im[v0 + 1, u0 + 1] * fu * fv)
-    return np.clip(out, 0, 255).astype(np.uint8)
+from isaac_ros_apriltag_tpu.utils.render import distort_image
 
 
 def _scene_tags(z=1.6, size=0.22):
@@ -130,3 +100,40 @@ def test_8mp_downscale_graph():
                                t["tag_size"])
         err = np.linalg.norm(rows[t["id"]] - want, axis=-1).max()
         assert err < 0.5, (t["id"], err)
+
+
+def test_separable_rectify_matches_gather_oracle():
+    """ops.remap.SeparableRectify (banded shift-mul-accumulate, the
+    production path) vs remap_bilinear (gather oracle): sub-0.15-gray-level
+    interior agreement on a smooth image with the reference calibration."""
+    import jax.numpy as jnp
+
+    from isaac_ros_apriltag_tpu.ops.remap import SeparableRectify, remap_bilinear
+
+    cam = CameraModel.create(width=REF_W, height=REF_H, dist=REF_D, **REF_K)
+    grid = np.asarray(cam.rectify_map())
+    y, x = np.mgrid[0:REF_H, 0:REF_W]
+    img = (128 + 90 * np.sin(x / 29.0) * np.cos(y / 31.0)).astype(np.float32)
+    a = np.asarray(remap_bilinear(jnp.asarray(img), jnp.asarray(grid, jnp.float32)))
+    b = np.asarray(SeparableRectify.from_grid(grid)(jnp.asarray(img)))
+    d = np.abs(a - b)[8:-8, 8:-8]
+    assert d.max() < 0.15, d.max()
+
+
+def test_graph_pipeline_separable_vs_exact_corners():
+    """End-to-end: the default (separable) rectify path and the gather
+    oracle path must detect the same tags with corners within 0.05 px."""
+    cam = CameraModel.create(width=REF_W, height=REF_H, dist=REF_D, **REF_K)
+    tags = _scene_tags()
+    ideal = render_tags(np.asarray(cam.K), (REF_H, REF_W), tags)
+    distorted = distort_image(ideal, cam)
+    cfg = DetectorConfig(tag_size=0.22, backend="xla")
+    det_a, _ = GraphPipeline(cfg, cam, encoding="mono8")(distorted)
+    det_b, _ = GraphPipeline(cfg, cam, encoding="mono8",
+                             exact_remap=True)(distorted)
+    va, vb = np.asarray(det_a.valid), np.asarray(det_b.valid)
+    np.testing.assert_array_equal(va, vb)
+    np.testing.assert_array_equal(np.asarray(det_a.id)[va],
+                                  np.asarray(det_b.id)[vb])
+    np.testing.assert_allclose(np.asarray(det_a.corners)[va],
+                               np.asarray(det_b.corners)[vb], atol=0.05)

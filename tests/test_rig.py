@@ -72,11 +72,58 @@ def test_rig_throughput_constancy(camera, rig_frames):
         rig = RigDetector(cfg, camera, n_cameras=N_CAM, mesh=mesh)
         det, _ = rig.detect(rig_frames)       # compile + warm
         jax.block_until_ready(det.valid)
-        t0 = time.perf_counter()
-        for _ in range(3):
+        best = float("inf")
+        for _ in range(3):                    # min-of-3: robust to host load
+            t0 = time.perf_counter()
             det, _ = rig.detect(rig_frames)
             np.asarray(det.valid)
-        times[n_dev] = (time.perf_counter() - t0) / 3
+            best = min(best, time.perf_counter() - t0)
+        times[n_dev] = best
     # virtual CPU devices share the same cores, so times should be roughly
-    # flat; a partitioning bug (replicated work) would scale ~linearly.
-    assert times[8] < times[1] * 3.0, times
+    # flat; a partitioning bug (replicated work) would scale ~linearly
+    # (8 devices -> ~8x). 1.5x headroom covers scheduler jitter only.
+    assert times[8] < times[1] * 1.5, times
+
+
+def test_rig_per_camera_intrinsics(camera, rig_frames):
+    """Per-camera CameraModels: each camera's detections must be POSED with
+    its own K (the reference's one-node-per-camera CameraInfo model). Each
+    camera renders its tag with its OWN focal length, so a rig that ignored
+    per-camera K would misestimate depth by up to 25%."""
+    fam = get_family("tag36h11")
+    cams, frames, want_t = [], [], []
+    for c in range(N_CAM):
+        f = 180.0 + 12.0 * c                       # distinct focal lengths
+        cx, cy = 160.0 + 2.0 * c, 120.0 - 1.5 * c  # distinct centers
+        cam_c = CameraModel.create(fx=f, fy=f, cx=cx, cy=cy,
+                                   width=320, height=240)
+        t = np.array([0.03 * (c % 3 - 1), 0.02 * (c // 3 - 1), 0.8])
+        frames.append(render_tags(
+            np.asarray(cam_c.K), (240, 320),
+            [dict(family=fam, id=5 * c + 2, R=upright_pose(t, 0.07 * c),
+                  t=t, tag_size=0.16)], seed=c))
+        cams.append(cam_c)
+        want_t.append(t)
+    frames = np.stack(frames)
+
+    cfg = DetectorConfig(tag_size=0.16, backend="xla", max_tags=8,
+                         max_clusters=16)
+    mesh = Mesh(np.asarray(jax.devices()[:N_CAM]), ("cam",))
+    rig = RigDetector(cfg, cams[0], n_cameras=N_CAM, mesh=mesh, cameras=cams)
+    det, stats = rig.detect(frames)
+    valid = np.asarray(det.valid)
+    ids = np.asarray(det.id)
+    trans = np.asarray(det.translation)
+    for c in range(N_CAM):
+        rows = np.nonzero(valid[c])[0]
+        assert len(rows) == 1 and ids[c, rows[0]] == 5 * c + 2
+        err = np.linalg.norm(trans[c, rows[0]] - want_t[c])
+        assert err < 0.01, (c, trans[c, rows[0]], want_t[c])
+    # a shared-K rig (camera 0's K) must NOT reproduce these translations
+    rig0 = RigDetector(cfg, cams[0], n_cameras=N_CAM, mesh=mesh)
+    det0, _ = rig0.detect(frames)
+    t0 = np.asarray(det0.translation)
+    v0 = np.asarray(det0.valid)
+    worst = max(np.linalg.norm(t0[c][v0[c]][0] - want_t[c])
+                for c in range(1, N_CAM))
+    assert worst > 0.03, worst

@@ -66,10 +66,9 @@ def test_noisy_detection_parity(mesh, camera):
     blobs differently between the sharded and single-device runs, but the
     threshold stays bit-identical and the END-TO-END detections (the user
     contract) must match: same ids, corners within float tolerance."""
-    from isaac_ros_apriltag_tpu import Detector
-    from isaac_ros_apriltag_tpu.ops.ccl import component_sizes
     from isaac_ros_apriltag_tpu.ops.cluster_moments import extract_cluster_moments
     from isaac_ros_apriltag_tpu.ops.quadfit import fit_quads_from_moments
+    from isaac_ros_apriltag_tpu.ops.resolve import resolve_components
 
     cfg = DetectorConfig(tag_size=0.16, backend="xla")
     img = _scene(camera, 1.5)
@@ -81,11 +80,15 @@ def test_noisy_detection_parity(mesh, camera):
     np.testing.assert_array_equal(np.asarray(tri_s), np.asarray(tri))
 
     def tail(tri_in, lab_in):
-        sizes = component_sizes(lab_in)
-        m = extract_cluster_moments(
-            tri_in, lab_in, sizes, max_edge_points=cfg.max_edge_points,
-            max_clusters=cfg.max_clusters,
+        res = resolve_components(
+            lab_in, tri_in != 127,
             min_component_pixels=cfg.min_component_pixels,
+            max_components=cfg.max_components,
+            chain_steps=cfg.ccl_resolve_steps)
+        m = extract_cluster_moments(
+            tri_in, res.dense, comp_overflow=res.overflow,
+            max_edge_points=cfg.max_edge_points,
+            max_clusters=cfg.max_clusters,
             min_cluster_pixels=cfg.min_cluster_pixels)
         q = fit_quads_from_moments(m, min_area=64.0 / cfg.quad_decimate ** 2)
         c = np.asarray(q.corners)[np.asarray(q.valid)]
@@ -117,18 +120,20 @@ def test_noisy_detection_parity(mesh, camera):
 
 def test_front_half_feeds_detector_tail(mesh, camera):
     """Sharded front outputs drive the tail to the same detections."""
-    from isaac_ros_apriltag_tpu.ops.ccl import component_sizes
     from isaac_ros_apriltag_tpu.ops.cluster_moments import extract_cluster_moments
     from isaac_ros_apriltag_tpu.ops.quadfit import fit_quads_from_moments
+    from isaac_ros_apriltag_tpu.ops.resolve import resolve_components
 
     cfg = DetectorConfig(tag_size=0.16, backend="xla")
     img = _scene(camera, 1.0)
     tri_s, lab_s = build_spatial_front_fn(cfg, camera, mesh)(jnp.asarray(img))
-    sizes = component_sizes(lab_s)
+    res = resolve_components(
+        lab_s, tri_s != 127, min_component_pixels=cfg.min_component_pixels,
+        max_components=cfg.max_components, chain_steps=cfg.ccl_resolve_steps)
     m = extract_cluster_moments(
-        tri_s, lab_s, sizes, max_edge_points=cfg.max_edge_points,
+        tri_s, res.dense, comp_overflow=res.overflow,
+        max_edge_points=cfg.max_edge_points,
         max_clusters=cfg.max_clusters,
-        min_component_pixels=cfg.min_component_pixels,
         min_cluster_pixels=cfg.min_cluster_pixels)
     q = fit_quads_from_moments(m, min_area=64.0 / cfg.quad_decimate ** 2)
     assert int(jnp.sum(q.valid)) >= 4
@@ -140,3 +145,56 @@ def test_band_misalignment_raises(mesh):
     cfg = DetectorConfig(tag_size=0.16, backend="xla")
     with pytest.raises(ValueError):
         build_spatial_front_fn(cfg, camera, mesh)
+
+
+def test_spatial_detector_one_call(mesh, camera):
+    """The user-facing sharded entry: SpatialDetector.detect(frame) on the
+    8-band mesh equals the single-device Detector bit-exactly on a clean
+    scene (both CCLs converge -> identical labels -> identical tail)."""
+    from isaac_ros_apriltag_tpu import Detector
+    from isaac_ros_apriltag_tpu.parallel.spatial import SpatialDetector
+
+    cfg = DetectorConfig(tag_size=0.16, backend="xla")
+    img = _scene(camera, 0.0)
+    sd = SpatialDetector(cfg, camera, mesh)
+    det_s, stats_s = sd.detect_with_stats(jnp.asarray(img))
+    det_1, stats_1 = Detector(cfg, camera).detect_with_stats(
+        img, encoding="mono8")
+    np.testing.assert_array_equal(np.asarray(det_s.valid),
+                                  np.asarray(det_1.valid))
+    np.testing.assert_array_equal(np.asarray(det_s.id), np.asarray(det_1.id))
+    np.testing.assert_array_equal(np.asarray(det_s.corners),
+                                  np.asarray(det_1.corners))
+    np.testing.assert_array_equal(np.asarray(det_s.translation),
+                                  np.asarray(det_1.translation))
+    assert int(stats_s.num_detections) == int(stats_1.num_detections) == 4
+
+
+def test_spatial_detector_8mp(mesh):
+    """The reference's motivating workload (README.md:24-26): one 8 MP frame
+    split row-wise across the mesh, detected in one call."""
+    from isaac_ros_apriltag_tpu.parallel.spatial import SpatialDetector
+    from isaac_ros_apriltag_tpu.utils.render import project_corners
+
+    W8, H8 = 3840, 2160
+    cam8 = CameraModel.create(fx=1800.0, fy=1800.0, cx=W8 / 2, cy=H8 / 2,
+                              width=W8, height=H8)
+    fam = get_family("tag36h11")
+    tags = []
+    for i, (x, y) in enumerate([(-0.35, -0.1), (0.35, 0.12)]):
+        t = np.array([x, y, 2.0])
+        tags.append(dict(family=fam, id=2 * i + 1, R=upright_pose(t, 0.1 * i),
+                         t=t, tag_size=0.3))
+    img = render_tags(np.asarray(cam8.K), (H8, W8), tags)
+    cfg = DetectorConfig(tag_size=0.3, backend="xla")
+    det = SpatialDetector(cfg, cam8, mesh).detect(jnp.asarray(img))
+    valid = np.asarray(det.valid)
+    ids = sorted(np.asarray(det.id)[valid].tolist())
+    assert ids == [1, 3]
+    rows = {int(i): c for i, c in zip(np.asarray(det.id)[valid],
+                                      np.asarray(det.corners)[valid])}
+    for t in tags:
+        want = project_corners(np.asarray(cam8.K), t["R"], t["t"],
+                               t["tag_size"])
+        err = np.linalg.norm(rows[t["id"]] - want, axis=-1).max()
+        assert err < 0.6, (t["id"], err)

@@ -59,24 +59,28 @@ def chain(n):
         if n == 1:
             return trinary
         if BACKEND == "pallas":
-            from isaac_ros_apriltag_tpu.ops.pallas.ccl import connected_components_pallas
-            label = connected_components_pallas(
-                trinary, cfg.ccl_rounds, cfg.ccl_jumps, cfg.ccl_jump_every)
+            from isaac_ros_apriltag_tpu.ops.pallas.ccl_fused import ccl_scan_pallas
+            label = ccl_scan_pallas(trinary, cfg.ccl_scan_rounds)[0]
         else:
             label = connected_components(trinary, cfg.ccl_rounds, cfg.ccl_jumps,
                                          cfg.ccl_jump_every)
         label = jax.lax.optimization_barrier(label)
         if n == 2:
             return label
-        sizes = component_sizes(label)
-        sizes = jax.lax.optimization_barrier(sizes)
+        from isaac_ros_apriltag_tpu.ops.resolve import resolve_components
+        res = resolve_components(
+            label, trinary != 127,
+            min_component_pixels=cfg.min_component_pixels,
+            max_components=cfg.max_components,
+            chain_steps=cfg.ccl_resolve_steps)
+        dense = jax.lax.optimization_barrier(res.dense)
         if n == 3:
-            return sizes
+            return dense
         from isaac_ros_apriltag_tpu.ops.cluster_moments import extract_cluster_moments
         clusters = extract_cluster_moments(
-            trinary, label, sizes, max_edge_points=cfg.max_edge_points,
+            trinary, dense, comp_overflow=res.overflow,
+            max_edge_points=cfg.max_edge_points,
             max_clusters=cfg.max_clusters,
-            min_component_pixels=cfg.min_component_pixels,
             min_cluster_pixels=cfg.min_cluster_pixels)
         clusters = jax.lax.optimization_barrier(clusters)
         if n == 4:

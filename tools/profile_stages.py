@@ -74,15 +74,22 @@ def main():
         lambda t: connected_components(t, cfg.ccl_rounds, cfg.ccl_jumps)),
         trinary, iters=it)
     total += dt
-    sizes, dt = timeit("component_sizes", jax.jit(component_sizes), label, iters=it)
+    from isaac_ros_apriltag_tpu.ops.resolve import resolve_components
+
+    dense, dt = timeit("resolve", jax.jit(
+        lambda t, l: resolve_components(
+            l, t != 127, min_component_pixels=cfg.min_component_pixels,
+            max_components=cfg.max_components,
+            chain_steps=cfg.ccl_resolve_steps).dense),
+        trinary, label, iters=it)
     total += dt
     clusters, dt = timeit("cluster_moments", jax.jit(
-        lambda t, l, s: extract_cluster_moments(
-            t, l, s, max_edge_points=cfg.max_edge_points,
+        lambda t, dn: extract_cluster_moments(
+            t, dn, comp_overflow=jnp.bool_(False),
+            max_edge_points=cfg.max_edge_points,
             max_clusters=cfg.max_clusters,
-            min_component_pixels=cfg.min_component_pixels,
             min_cluster_pixels=cfg.min_cluster_pixels)),
-        trinary, label, sizes, iters=it)
+        trinary, dense, iters=it)
     total += dt
     quads, dt = timeit("fit_quads", jax.jit(fit_quads_from_moments), clusters, iters=it)
     total += dt
