@@ -60,12 +60,19 @@ class DetectorConfig:
     ccl_rounds: int = 8              # scan/propagate rounds (see ops/ccl.py)
     ccl_jumps: int = 2               # pointer-jumping passes per jump round
     ccl_jump_every: int = 4          # jump rounds: every Nth round
-    # Fused-kernel CCL (pallas backend; ops/pallas/ccl_fused.py): scan-only
-    # rounds, all VMEM-resident (~2 orders cheaper per round than a jump
-    # pass), so convergence is bought with MORE rounds; residual parent
-    # chains are finished exactly by ops/resolve.py with `ccl_resolve_steps`
-    # compacted chain-follow gathers (both backends run the same resolve).
-    ccl_scan_rounds: int = 16        # fused-kernel scan rounds
+    # Scan-only CCL (pallas backend; ops/pallas/ccl_fused.py): two scan
+    # phases with a compacted chain CONTRACTION (ops/resolve.resolve_roots)
+    # between them — the role round 3's full-image pointer jumps played, at
+    # ~1/3 the cost. Measured (TPU, noisy 1080p): a SINGLE long scan phase
+    # is non-monotonic in rounds — a distant min label can propagate
+    # PARTWAY into a tag border through percolation-noise bridges and split
+    # its labels (8 rounds: 6/6 detections; 24 rounds: 0/6 at noise=4) —
+    # while contraction + a short second phase re-converges the border.
+    # Residual chains are finished exactly by ops/resolve.py with
+    # `ccl_resolve_steps` pointer doublings (both backends run the same
+    # final resolve).
+    ccl_scan_rounds: int = 8         # phase-1 scan rounds
+    ccl_phase2_rounds: int = 6       # post-contraction scan rounds (0 = off)
     ccl_resolve_steps: int = 5       # chain pointer-doublings (depth 2^n)
     max_components: int = 1 << 16    # distinct-label capacity in resolve
 
@@ -102,6 +109,8 @@ class DetectorConfig:
             raise ValueError("ccl_jump_every must be >= 1")
         if self.ccl_scan_rounds < 1:
             raise ValueError("ccl_scan_rounds must be >= 1")
+        if self.ccl_phase2_rounds < 0:
+            raise ValueError("ccl_phase2_rounds must be >= 0")
         if self.ccl_resolve_steps < 1:
             raise ValueError("ccl_resolve_steps must be >= 1")
         if self.max_components < 1:

@@ -106,7 +106,8 @@ def detect_tail(cfg: DetectorConfig, camera: CameraModel, family: TagFamily,
         comp_overflow=res.overflow,
         max_edge_points=cfg.max_edge_points,
         max_clusters=cfg.max_clusters,
-        min_cluster_pixels=cfg.min_cluster_pixels)
+        min_cluster_pixels=cfg.min_cluster_pixels,
+        max_cluster_points=cfg.max_cluster_points)
     return _detect_from_clusters(cfg, camera, family, gray, clusters,
                                  ccl_converged)
 
@@ -139,9 +140,23 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
         gray, trinary = jax.lax.optimization_barrier((gray, trinary))
         if cfg.backend in ("pallas", "interpret"):
             from .ops.pallas.ccl_fused import ccl_scan_pallas
+            from .ops.resolve import resolve_roots
+            interp = cfg.backend == "interpret"
             label, scan_converged = ccl_scan_pallas(
-                trinary, cfg.ccl_scan_rounds,
-                interpret=cfg.backend == "interpret")
+                trinary, cfg.ccl_scan_rounds, interpret=interp)
+            if cfg.ccl_phase2_rounds > 0:
+                # Compacted contraction + a short second scan phase: the
+                # robust replacement for round 3's pointer-jump rounds (a
+                # single long scan phase is NON-monotonic in rounds under
+                # percolation noise — see config.py's ccl notes).
+                label = jax.lax.optimization_barrier(label)
+                roots = resolve_roots(
+                    label, trinary != 127,
+                    max_components=cfg.max_components,
+                    chain_steps=cfg.ccl_resolve_steps)
+                label, scan_converged = ccl_scan_pallas(
+                    trinary, cfg.ccl_phase2_rounds, interpret=interp,
+                    label0=jax.lax.optimization_barrier(roots))
         else:
             label, scan_converged = connected_components(
                 trinary, cfg.ccl_rounds, cfg.ccl_jumps, cfg.ccl_jump_every,

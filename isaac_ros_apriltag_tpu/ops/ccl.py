@@ -148,14 +148,12 @@ def connected_components(trinary: jax.Array, rounds: int = 6, jumps: int = 2,
     if not with_convergence:
         return jax.lax.fori_loop(0, rounds, body, idx, unroll=False)
 
-    def body_flagged(r, carry):
-        label, _ = carry
-        new = body(r, label)
-        return new, jnp.any(new != label)      # last round's flag survives
-
-    label, changed = jax.lax.fori_loop(0, rounds, body_flagged,
-                                       (idx, jnp.array(False)), unroll=False)
-    return label, ~changed
+    # converged = the FINAL round changed nothing; running rounds-1 in the
+    # loop and the last round explicitly costs one compare total instead of
+    # one per round.
+    label = jax.lax.fori_loop(0, rounds - 1, body, idx, unroll=False)
+    new = body(rounds - 1, label)
+    return new, ~jnp.any(new != label)
 
 
 def component_sizes(label: jax.Array) -> jax.Array:

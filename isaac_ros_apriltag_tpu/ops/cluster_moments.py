@@ -114,8 +114,8 @@ def _diamond_bin(dx: jax.Array, dy: jax.Array, nbins: int) -> jax.Array:
 
 def extract_cluster_moments(trinary: jax.Array, dense: jax.Array, *,
                             comp_overflow: jax.Array, max_edge_points: int,
-                            max_clusters: int,
-                            min_cluster_pixels: int) -> ClusterMoments:
+                            max_clusters: int, min_cluster_pixels: int,
+                            max_cluster_points: int = 1024) -> ClusterMoments:
     """trinary + area-gated dense component ids (ops/resolve.py) -> moments."""
     H, W = trinary.shape
     # The compaction slice can never exceed the raw pair-stream length
@@ -255,7 +255,17 @@ def extract_cluster_moments(trinary: jax.Array, dense: jax.Array, *,
     key2, o_w, o_x, o_y, o_xx, o_xy, o_yy = jax.lax.sort(
         (key2, wv, sxn * wv, syn * wv, sxn * sxn * wv, sxn * syn * wv,
          syn * syn * wv), num_keys=1)
-    F2 = jnp.stack([o_w, o_x, o_y, o_xx, o_xy, o_yy], -1)         # (E, 6)
+    # Only pairs belonging to the top-C clusters survive sort 2 (they sort
+    # to the front); the downstream scans + sort 3 run at the much tighter
+    # per-cluster budget E2 = C * max_cluster_points instead of E. The slice
+    # keeps the lowest slots complete; a frame whose slot-pair total
+    # overflows E2 truncates the highest slots and raises `overflow`.
+    E2 = min(C * max_cluster_points, E)
+    n_slot_pairs = jnp.sum(wv).astype(jnp.int32)
+    slot_overflow = n_slot_pairs > E2
+    key2 = key2[:E2]
+    F2 = jnp.stack([o_w[:E2], o_x[:E2], o_y[:E2], o_xx[:E2], o_xy[:E2],
+                    o_yy[:E2]], -1)                               # (E2, 6)
     v2 = key2 != _I32MAX
     prev_k2 = jnp.concatenate([jnp.full((1,), -1, jnp.int32), key2[:-1]])
     first2 = v2 & (key2 != prev_k2)
@@ -287,4 +297,5 @@ def extract_cluster_moments(trinary: jax.Array, dense: jax.Array, *,
         scale=cscale, dark_inside=dark, valid=cvalid,
         num_clusters=n_clusters, num_eligible=n_eligible,
         num_edge_points=num_edge, edge_stride=stride,
-        overflow=(num_edge > E) | comp_overflow | (n_eligible > C))
+        overflow=((num_edge > E) | comp_overflow | (n_eligible > C)
+                  | slot_overflow))

@@ -150,17 +150,24 @@ def _round_up(x: int, m: int) -> int:
 def connected_components_pallas(trinary: jax.Array, rounds: int = 6,
                                 jumps: int = 2, jump_every: int = 1, *,
                                 interpret: bool = False,
-                                with_convergence: bool = False):
+                                with_convergence: bool = False,
+                                label0: jax.Array | None = None):
     """Drop-in replacement for ops.ccl.connected_components.
 
     (H, W) uint8 trinary {0,127,255} -> (H, W) int32 labels; round-for-round
     bit-identical to the XLA backend (both assign the min flat index).
     With `with_convergence`, also returns True iff the final round was a
     no-op (same telemetry semantics as the XLA backend).
+    `label0` overrides the initial label field (UNPADDED flat indices, e.g.
+    the chain-contracted labels of a previous scan phase — see
+    detector.py's two-phase CCL); `jumps` must be 0 in that mode: label
+    values may point anywhere in the image, outside a jump's gather table
+    guarantees.
     """
     H, W = trinary.shape
     Hp = _round_up(H, _ROW_BAND)
     Wp = _round_up(W, _COL_BAND)
+    assert label0 is None or jumps == 0
     tri = jnp.pad(trinary, ((0, Hp - H), (0, Wp - W)),
                   constant_values=jnp.uint8(127))
     # Work in PADDED flat index space (remapped to unpadded at the end, which
@@ -168,7 +175,11 @@ def connected_components_pallas(trinary: jax.Array, rounds: int = 6,
     # lexicographic in (y, x), so the min is the same pixel).
     ys = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)
-    label0 = ys * Wp + xs
+    if label0 is None:
+        label0 = ys * Wp + xs
+    else:
+        lp = (label0 // W) * Wp + label0 % W
+        label0 = (ys * Wp + xs).at[:H, :W].set(lp)
 
     row_scan = pl.pallas_call(
         _row_kernel(Wp),
@@ -214,14 +225,11 @@ def connected_components_pallas(trinary: jax.Array, rounds: int = 6,
                             lambda lab: lab, label)
 
     if with_convergence:
-        def body_flagged(r, carry):
-            label, _ = carry
-            new = body(r, label)
-            return new, jnp.any(new != label)
-
-        label, changed = jax.lax.fori_loop(0, rounds, body_flagged,
-                                           (label0, jnp.array(False)),
-                                           unroll=False)
+        # One compare total (after the explicit final round) instead of one
+        # per round; converged = the FINAL round changed nothing.
+        label = jax.lax.fori_loop(0, rounds - 1, body, label0, unroll=False)
+        new = body(rounds - 1, label)
+        label, changed = new, jnp.any(new != label)
     else:
         label = jax.lax.fori_loop(0, rounds, body, label0, unroll=False)
     # Remap padded flat indices -> unpadded flat indices and crop.

@@ -36,14 +36,16 @@ from .ccl import connected_components_pallas
 
 @functools.partial(jax.jit, static_argnames=("rounds", "interpret"))
 def ccl_scan_pallas(trinary: jax.Array, rounds: int = 16, *,
-                    interpret: bool = False):
+                    interpret: bool = False,
+                    label0: jax.Array | None = None):
     """(H, W) uint8 trinary {0,127,255} -> ((H, W) int32 labels, converged).
 
     Labels are each pixel's best-known component representative (min flat
     index over the scanned region); `converged` is True iff the final round
     was a no-op. Chains left by under-convergence are finished by
-    ops/resolve.py.
+    ops/resolve.py. `label0` (unpadded flat indices) seeds a later phase
+    from chain-contracted labels (detector.py's two-phase CCL).
     """
     return connected_components_pallas(trinary, rounds=rounds, jumps=0,
                                        with_convergence=True,
-                                       interpret=interpret)
+                                       interpret=interpret, label0=label0)

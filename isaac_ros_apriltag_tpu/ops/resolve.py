@@ -186,3 +186,55 @@ def resolve_components(label: jax.Array, valid: jax.Array, *,
     return ResolvedComponents(dense=dense_flat.reshape(H, W),
                               n_eligible=n_eligible, overflow=overflow,
                               converged=converged, roots=roots)
+
+
+def resolve_roots(label: jax.Array, valid: jax.Array, *,
+                  max_components: int = 1 << 16,
+                  chain_steps: int = 5) -> jax.Array:
+    """(H, W) labels -> (H, W) chain-root labels (the contraction step).
+
+    The compacted-cost equivalent of full-image pointer jumping: every
+    pixel's label is replaced by its chain FIXPOINT, so a following scan
+    phase propagates mins across formerly-split constant-label regions in
+    O(region count) rounds. Used between the two scan phases of the
+    production CCL (see detector.py) — the role round 3's rationed jump
+    passes played, at ~1/3 the cost. Invalid/overflowed pixels keep their
+    incoming label.
+    """
+    H, W = label.shape
+    N = H * W
+    R = min(max_components, N)
+    flat = label.reshape(-1)
+    idx = jnp.arange(N, dtype=jnp.int32)
+
+    key = jnp.where(valid.reshape(-1), flat, N)
+    lab_s, idx_s = jax.lax.sort((key, idx), num_keys=1)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), lab_s[:-1]])
+    bnd = lab_s != prev
+    first = (lab_s != N) & bnd
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_groups = rank[-1] + 1
+
+    ckey = jnp.where(first, rank, N)
+    _, P, D = jax.lax.sort((ckey, idx, lab_s), num_keys=1)
+    P, D = P[:R], D[:R]
+    ks = jnp.arange(R, dtype=jnp.int32)
+    kvalid = ks < n_groups
+    D = jnp.where(kvalid, D, N)
+
+    flatp = jnp.concatenate([flat, jnp.full((1,), N, jnp.int32)])
+    par = flatp[D]
+    inv = (jnp.full((N + 2,), R, jnp.int32)
+           .at[jnp.where(kvalid, D, N + 1)].set(ks)[:N + 1])
+    parx = jnp.concatenate([inv[par], jnp.full((1,), R, jnp.int32)])
+    for _ in range(max(chain_steps, 1)):
+        parx = parx[parx]
+    Dx = jnp.concatenate([D, jnp.full((1,), N, jnp.int32)])
+    root_k = jnp.where(kvalid, Dx[parx[:R]], -1)
+
+    seed = (jnp.full((N + 1,), -1, jnp.int32)
+            .at[jnp.where(kvalid, P, N)].set(root_k)[:N])
+    bcast = _seg_scan(seed[:, None], bnd[:, None], lambda a, b: a)[:, 0]
+    _, root_flat = jax.lax.sort((idx_s, bcast), num_keys=1)
+    roots = root_flat.reshape(H, W)
+    return jnp.where(valid & (roots >= 0), roots, label)

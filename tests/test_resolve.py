@@ -208,3 +208,42 @@ def test_fused_kernel_under_vmap():
     single, _ = ccl_scan_pallas(jnp.asarray(tri), 6, interpret=True)
     np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(single))
     np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(single))
+
+
+def test_ccl_label0_parity():
+    """ccl_scan_pallas(label0=...) bit-matches the XLA backend seeded with
+    the same labels (the two-phase CCL's second phase)."""
+    tri = _speckle_scene(shape=(64, 128))
+    lab1, _ = ccl_scan_pallas(jnp.asarray(tri), 4, interpret=True)
+    from isaac_ros_apriltag_tpu.ops.resolve import resolve_roots
+
+    roots = resolve_roots(lab1, jnp.asarray(tri != 127))
+    a = np.asarray(connected_components(jnp.asarray(tri), 4, 0,
+                                        label0=roots))
+    b, _ = ccl_scan_pallas(jnp.asarray(tri), 4, interpret=True, label0=roots)
+    np.testing.assert_array_equal(a, np.asarray(b))
+
+
+def test_two_phase_ccl_survives_heavy_noise():
+    """The regime that broke a single long scan phase on hardware: under
+    heavy noise a distant min label propagates PARTWAY into the tag border
+    and splits its labels (more rounds = worse). The production two-phase
+    CCL (scan -> compacted contraction -> scan) must keep detecting; the
+    detections must match the jump-based XLA oracle."""
+    from isaac_ros_apriltag_tpu import CameraModel, Detector, DetectorConfig
+
+    cam = CameraModel.create(fx=420.0, fy=420.0, cx=320.0, cy=240.0,
+                             width=640, height=480)
+    fam = get_family("tag36h11")
+    tags = []
+    for i, (x, y) in enumerate([(-0.25, -0.1), (0.25, 0.12)]):
+        t = np.array([x, y, 1.0])
+        tags.append(dict(family=fam, id=4 * i + 3, R=upright_pose(t, 0.1 * i),
+                         t=t, tag_size=0.16))
+    img = render_tags(np.asarray(cam.K), (480, 640), tags, noise=4.0)
+    det_p = Detector(DetectorConfig(backend="interpret", tag_size=0.16), cam)
+    det_x = Detector(DetectorConfig(backend="xla", tag_size=0.16), cam)
+    rp = sorted(d["id"] for d in det_p.detect(img, encoding="mono8").to_list())
+    rx = sorted(d["id"] for d in det_x.detect(img, encoding="mono8").to_list())
+    assert rx == [3, 7], rx          # the oracle finds both
+    assert rp == rx, (rp, rx)

@@ -139,12 +139,25 @@ def test_front_half_feeds_detector_tail(mesh, camera):
     assert int(jnp.sum(q.valid)) >= 4
 
 
-def test_band_misalignment_raises(mesh):
-    camera = CameraModel.create(fx=420.0, fy=420.0, cx=320.0, cy=120.0,
+def test_band_misalignment_autopads(mesh):
+    """A height that doesn't split into tile-aligned bands (244 -> seg 122,
+    not divisible by 4 shards x tile 4) auto-pads with edge rows and still
+    detects; outputs crop back to the unpadded segmentation height."""
+    camera = CameraModel.create(fx=220.0, fy=220.0, cx=320.0, cy=61.0,
                                 width=640, height=244)
     cfg = DetectorConfig(tag_size=0.16, backend="xla")
-    with pytest.raises(ValueError):
-        build_spatial_front_fn(cfg, camera, mesh)
+    fam = get_family("tag36h11")
+    t = np.array([0.0, 0.0, 0.6])
+    img = render_tags(np.asarray(camera.K), (244, 640),
+                      [dict(family=fam, id=9, R=upright_pose(t), t=t,
+                            tag_size=0.16)])
+    tri_s, lab_s = build_spatial_front_fn(cfg, camera, mesh)(jnp.asarray(img))
+    assert tri_s.shape[0] == 124   # ceil(122 / 4) * 4, unpadded seg height
+    from isaac_ros_apriltag_tpu.parallel.spatial import SpatialDetector
+
+    det = SpatialDetector(cfg, camera, mesh).detect(jnp.asarray(img))
+    ids = np.asarray(det.id)[np.asarray(det.valid)].tolist()
+    assert ids == [9]
 
 
 def test_spatial_detector_one_call(mesh, camera):
