@@ -73,7 +73,13 @@ class DetectorConfig:
     # final resolve).
     ccl_scan_rounds: int = 8         # phase-1 scan rounds
     ccl_phase2_rounds: int = 6       # post-contraction scan rounds (0 = off)
-    ccl_resolve_steps: int = 5       # chain pointer-doublings (depth 2^n)
+    # Chain pointer-doublings (depth 2^n). The mid-loop contraction faces
+    # phase-1 chains (measured depth up to ~24 at 8 rounds -> 5 doublings);
+    # the final resolve only sees chains formed during the short phase 2
+    # (depth <= phase2_rounds + 1 -> 3 doublings). Both report shortfall
+    # via the converged flag (FrameStats.ccl_converged).
+    ccl_contraction_steps: int = 5
+    ccl_resolve_steps: int = 3
     max_components: int = 1 << 16    # distinct-label capacity in resolve
 
     # Threshold / segmentation tuning (AprilTag-3 standard values).

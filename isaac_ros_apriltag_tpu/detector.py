@@ -153,7 +153,7 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
                 roots = resolve_roots(
                     label, trinary != 127,
                     max_components=cfg.max_components,
-                    chain_steps=cfg.ccl_resolve_steps)
+                    chain_steps=cfg.ccl_contraction_steps)
                 label, scan_converged = ccl_scan_pallas(
                     trinary, cfg.ccl_phase2_rounds, interpret=interp,
                     label0=jax.lax.optimization_barrier(roots))

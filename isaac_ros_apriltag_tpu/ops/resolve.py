@@ -128,12 +128,18 @@ def resolve_components(label: jax.Array, valid: jax.Array, *,
     # Composing the compacted parent map with itself halves the remaining
     # depth per step, so `chain_steps` doublings resolve depth 2^chain_steps
     # with one (R,)-gather per step. flatp[N] == N keeps sentinels fixed.
+    # D is ascending and (with out-of-bounds pad indices, which drop/fill)
+    # unique, so the compacted gathers/scatters carry the sorted+unique
+    # hints XLA's TPU lowering exploits.
     flatp = jnp.concatenate([flat, jnp.full((1,), N, jnp.int32)])
-    par = flatp[D]
+    D_u = jnp.where(kvalid, D, (N + 1) + ks)     # unique, ascending; pads OOB
+    par = flatp.at[D_u].get(indices_are_sorted=True, unique_indices=True,
+                            mode="fill", fill_value=N)
     # inv: label value -> compacted index; sentinel labels -> self-looping
-    # extra slot R. (Invalid slots scatter to a scratch position N+1.)
+    # extra slot R. (Invalid slots' pad indices fall out of bounds -> drop.)
     inv = (jnp.full((N + 2,), R, jnp.int32)
-           .at[jnp.where(kvalid, D, N + 1)].set(ks)[:N + 1])
+           .at[D_u].set(ks, indices_are_sorted=True,
+                        unique_indices=True)[:N + 1])
     parx = jnp.concatenate([inv[par], jnp.full((1,), R, jnp.int32)])
     prev = parx
     for _ in range(max(chain_steps, 1)):
@@ -162,13 +168,17 @@ def resolve_components(label: jax.Array, valid: jax.Array, *,
     _, dense_k, root_k = jax.lax.sort((korder, dense_m, rkey), num_keys=1)
 
     # --- broadcast to pixels: seed at P, segmented copy, un-sort -----------
-    seedpos = jnp.where(kvalid, P, N)
+    # P is ascending+unique (group starts in sorted order); pad slots use
+    # out-of-bounds indices, which scatter-drop.
+    seedpos = jnp.where(kvalid, P, (N + 1) + ks)
     seed_d = (jnp.full((N + 1,), -1, jnp.int32)
-              .at[seedpos].set(jnp.where(kvalid, dense_k, -1))[:N])
+              .at[seedpos].set(dense_k, indices_are_sorted=True,
+                               unique_indices=True)[:N])
     fields = [seed_d]
     if with_roots:
         seed_r = (jnp.full((N + 1,), -1, jnp.int32)
-                  .at[seedpos].set(jnp.where(kvalid, root_k, -1))[:N])
+                  .at[seedpos].set(root_k, indices_are_sorted=True,
+                                   unique_indices=True)[:N])
         fields.append(seed_r)
     bcast = _seg_scan(jnp.stack(fields, -1), bnd[:, None], lambda a, b: a)
     dense_sorted = jnp.where(bcast[:, 0] >= 0, bcast[:, 0], _KMAX)
@@ -223,9 +233,12 @@ def resolve_roots(label: jax.Array, valid: jax.Array, *,
     D = jnp.where(kvalid, D, N)
 
     flatp = jnp.concatenate([flat, jnp.full((1,), N, jnp.int32)])
-    par = flatp[D]
+    D_u = jnp.where(kvalid, D, (N + 1) + ks)
+    par = flatp.at[D_u].get(indices_are_sorted=True, unique_indices=True,
+                            mode="fill", fill_value=N)
     inv = (jnp.full((N + 2,), R, jnp.int32)
-           .at[jnp.where(kvalid, D, N + 1)].set(ks)[:N + 1])
+           .at[D_u].set(ks, indices_are_sorted=True,
+                        unique_indices=True)[:N + 1])
     parx = jnp.concatenate([inv[par], jnp.full((1,), R, jnp.int32)])
     for _ in range(max(chain_steps, 1)):
         parx = parx[parx]
@@ -233,7 +246,8 @@ def resolve_roots(label: jax.Array, valid: jax.Array, *,
     root_k = jnp.where(kvalid, Dx[parx[:R]], -1)
 
     seed = (jnp.full((N + 1,), -1, jnp.int32)
-            .at[jnp.where(kvalid, P, N)].set(root_k)[:N])
+            .at[jnp.where(kvalid, P, (N + 1) + ks)]
+            .set(root_k, indices_are_sorted=True, unique_indices=True)[:N])
     bcast = _seg_scan(seed[:, None], bnd[:, None], lambda a, b: a)[:, 0]
     _, root_flat = jax.lax.sort((idx_s, bcast), num_keys=1)
     roots = root_flat.reshape(H, W)

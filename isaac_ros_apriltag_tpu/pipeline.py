@@ -11,6 +11,7 @@ programming model for free.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -53,20 +54,33 @@ class GraphPipeline:
                 self._grid = jnp.asarray(grid)
             else:
                 self._rectify = SeparableRectify.from_grid(np.asarray(grid))
+        # Rectify maps enter as ARGUMENTS, not jit-closure constants: baked-in
+        # maps bloat the executable (measured 276 MB at 8 MP incl. compiler
+        # copies) and slow both compile and the tunnel program load.
+        self.plan_args = ((self._rectify.sx2, self._rectify.sy2)
+                          if self._rectify is not None else ())
         self.detect_camera = camera.scaled(1.0 / self.downscale) \
             if self.downscale > 1 else camera
         self._detect = build_detect_fn(config, self.detect_camera, "mono8")
-        self._jitted = jax.jit(self._run)
+        self._jitted = jax.jit(self.fn_with_plan)
 
     @property
     def fn(self):
-        """The pure (unjitted) pipeline function, for composition (vmap/pjit)."""
-        return self._run
+        """The pure (unjitted) single-arg pipeline function. NB: under jit
+        this embeds the rectify maps as constants; prefer `fn_with_plan` +
+        `plan_args` for jit/vmap composition (see __init__ note)."""
+        return lambda image: self.fn_with_plan(image, *self.plan_args)
 
-    def _run(self, image: jax.Array) -> tuple[Detections, FrameStats]:
+    def fn_with_plan(self, image: jax.Array, *plan
+                     ) -> tuple[Detections, FrameStats]:
+        """Pipeline with the rectify maps passed explicitly (jit-friendly).
+
+        vmap as jax.vmap(gp.fn_with_plan, in_axes=(0,) + (None,) * len(
+        gp.plan_args)) and call with (*batch, *gp.plan_args)."""
         gray = grayscale(image, self.encoding)
         if self._rectify is not None:
-            gray = self._rectify(gray)
+            sx2, sy2 = plan
+            gray = dataclasses.replace(self._rectify, sx2=sx2, sy2=sy2)(gray)
         elif self._grid is not None:
             gray = remap_bilinear(gray, self._grid)
         if self.downscale > 1:
@@ -74,7 +88,7 @@ class GraphPipeline:
         return self._detect(gray.astype(jnp.float32))
 
     def __call__(self, image) -> tuple[Detections, FrameStats]:
-        return self._jitted(jnp.asarray(image))
+        return self._jitted(jnp.asarray(image), *self.plan_args)
 
 
 def batched_detect_fn(config: DetectorConfig, camera: CameraModel,
