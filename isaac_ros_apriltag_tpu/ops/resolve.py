@@ -39,8 +39,10 @@ Pipeline:
      the dense ranking of eligible roots happen here — the rank order
      (ascending root flat index) is bit-identical to the round-3 relabel;
   5. the dense id is broadcast back to pixels with a seed-scatter at the
-     P_k positions + one segmented copy-scan, and un-sorted to image order
-     with one final sort.
+     P_k positions + ONE plain cummax over (group rank << 16 | id+1) —
+     the rank high bits make group boundaries implicit, so no segmented
+     pair-scan is needed — then un-sorted to image order with one final
+     sort.
 
 The reference hides its equivalent (union-find inside cuAprilTags/VPI
 binaries) behind closed calls (ref: isaac_ros_apriltag/src/
@@ -167,24 +169,45 @@ def resolve_components(label: jax.Array, valid: jax.Array, *,
     # back to k-order (one small sort); carry the root for with_roots
     _, dense_k, root_k = jax.lax.sort((korder, dense_m, rkey), num_keys=1)
 
-    # --- broadcast to pixels: seed at P, segmented copy, un-sort -----------
+    # --- broadcast to pixels: seed at P, packed cummax, un-sort ------------
+    # Group-forward copy WITHOUT a segmented pair-scan: pack (group rank,
+    # seeded value+1) into one uint32 whose high bits are the rank — a plain
+    # cummax then carries each group's seed to its members (later groups
+    # always win on the high bits), and unseeded positions read 0 low bits.
     # P is ascending+unique (group starts in sorted order); pad slots use
-    # out-of-bounds indices, which scatter-drop.
+    # out-of-bounds indices, which scatter-drop. rank clamps to 16 bits:
+    # groups past R are unseeded -> _KMAX regardless.
     seedpos = jnp.where(kvalid, P, (N + 1) + ks)
-    seed_d = (jnp.full((N + 1,), -1, jnp.int32)
-              .at[seedpos].set(dense_k, indices_are_sorted=True,
+    rank16 = jnp.minimum(rank, (1 << 16) - 1).astype(jnp.uint32) << 16
+    seed_d = (jnp.zeros((N + 1,), jnp.uint32)
+              .at[seedpos].set((dense_k + 1).astype(jnp.uint32),
+                               indices_are_sorted=True,
                                unique_indices=True)[:N])
-    fields = [seed_d]
+    carry_d = jax.lax.cummax(rank16 | seed_d) & jnp.uint32(0xFFFF)
+    dense_sorted = jnp.where(vs & (carry_d > 0),
+                             carry_d.astype(jnp.int32) - 1, _KMAX)
     if with_roots:
-        seed_r = (jnp.full((N + 1,), -1, jnp.int32)
-                  .at[seedpos].set(root_k, indices_are_sorted=True,
+        # root values need up to 22 bits (N < 2^22 per the 2047x2047 image
+        # guard): broadcast as two 11-bit chunks, each packed under the
+        # 16-bit rank (rank<<12 | chunk+1 < 2^28).
+        rank12 = jnp.minimum(rank, (1 << 16) - 1).astype(jnp.uint32) << 12
+        rv = jnp.where(root_k >= 0, root_k, -1)
+        chunks = []
+        for shift in (0, 11):
+            sd = (jnp.zeros((N + 1,), jnp.uint32)
+                  .at[seedpos].set((((rv >> shift) & 0x7FF) + 1)
+                                   .astype(jnp.uint32)
+                                   * (rv >= 0).astype(jnp.uint32),
+                                   indices_are_sorted=True,
                                    unique_indices=True)[:N])
-        fields.append(seed_r)
-    bcast = _seg_scan(jnp.stack(fields, -1), bnd[:, None], lambda a, b: a)
-    dense_sorted = jnp.where(bcast[:, 0] >= 0, bcast[:, 0], _KMAX)
-    if with_roots:
+            chunks.append(jax.lax.cummax(rank12 | sd) & jnp.uint32(0xFFF))
+        lo, hi = chunks
+        seeded = (lo > 0) & (hi > 0)
+        root_sorted = jnp.where(
+            seeded, ((hi.astype(jnp.int32) - 1) << 11)
+            | (lo.astype(jnp.int32) - 1), -1)
         _, dense_flat, root_flat = jax.lax.sort(
-            (idx_s, dense_sorted, bcast[:, 1]), num_keys=1)
+            (idx_s, dense_sorted, root_sorted), num_keys=1)
         # invalid / overflowed pixels keep their incoming label as root
         roots = jnp.where(valid & (root_flat.reshape(H, W) >= 0),
                           root_flat.reshape(H, W), label)
@@ -245,10 +268,23 @@ def resolve_roots(label: jax.Array, valid: jax.Array, *,
     Dx = jnp.concatenate([D, jnp.full((1,), N, jnp.int32)])
     root_k = jnp.where(kvalid, Dx[parx[:R]], -1)
 
-    seed = (jnp.full((N + 1,), -1, jnp.int32)
-            .at[jnp.where(kvalid, P, (N + 1) + ks)]
-            .set(root_k, indices_are_sorted=True, unique_indices=True)[:N])
-    bcast = _seg_scan(seed[:, None], bnd[:, None], lambda a, b: a)[:, 0]
+    # Broadcast roots by packed cummax (see resolve_components): up-to-22-bit
+    # root values ride as two 11-bit chunks under the 16-bit group rank.
+    seedpos = jnp.where(kvalid, P, (N + 1) + ks)
+    rank12 = jnp.minimum(rank, (1 << 16) - 1).astype(jnp.uint32) << 12
+    chunks = []
+    for shift in (0, 11):
+        sd = (jnp.zeros((N + 1,), jnp.uint32)
+              .at[seedpos].set((((root_k >> shift) & 0x7FF) + 1)
+                               .astype(jnp.uint32)
+                               * (root_k >= 0).astype(jnp.uint32),
+                               indices_are_sorted=True,
+                               unique_indices=True)[:N])
+        chunks.append(jax.lax.cummax(rank12 | sd) & jnp.uint32(0xFFF))
+    lo, hi = chunks
+    bcast = jnp.where((lo > 0) & (hi > 0),
+                      ((hi.astype(jnp.int32) - 1) << 11)
+                      | (lo.astype(jnp.int32) - 1), -1)
     _, root_flat = jax.lax.sort((idx_s, bcast), num_keys=1)
     roots = root_flat.reshape(H, W)
     return jnp.where(valid & (roots >= 0), roots, label)
