@@ -49,8 +49,12 @@ class DetectorConfig:
 
     # TPU pipeline capacities (all static; data-dependent counts are handled
     # with validity masks, same tradeoff as the reference's max_tags arrays,
-    # ref: apriltag_node.cpp:285-289).
-    max_edge_points: int = 1 << 18   # compacted boundary points per frame
+    # ref: apriltag_node.cpp:285-289). max_edge_points / max_components are
+    # CAPS: the effective capacities scale with the segmentation-image pixel
+    # count (see effective_capacities) so 720p inputs don't pay 1080p-sized
+    # sorts and 1080p keeps stride-1 headroom (measured 272k gated boundary
+    # pairs at noisy 1080p).
+    max_edge_points: int = 1 << 19   # cap on compacted boundary points
     max_clusters: int = 128          # candidate boundary clusters kept
     max_cluster_points: int = 1024   # points retained per cluster
     # CCL iteration (XLA oracle path; see ops/ccl.py): scan rounds plus
@@ -91,6 +95,15 @@ class DetectorConfig:
     max_hamming: int = 2
     decode_sharpening: float = 0.25
     min_decision_margin: float = 10.0
+
+    def effective_capacities(self, seg_h: int, seg_w: int) -> tuple[int, int]:
+        """(edge_points, components) for a segmentation image of seg_h x
+        seg_w pixels: 3/4 boundary pairs and 1/8 distinct labels per pixel
+        (both ~2x the worst measured noisy-scene counts), capped by the
+        config fields. Static per camera (jit-shape-safe)."""
+        hw = seg_h * seg_w
+        return (min(self.max_edge_points, max((3 * hw) // 4, 1024)),
+                min(self.max_components, max(hw // 8, 256)))
 
     def __post_init__(self):
         if self.backend not in BACKENDS:

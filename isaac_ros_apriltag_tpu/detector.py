@@ -93,18 +93,20 @@ def detect_tail(cfg: DetectorConfig, camera: CameraModel, family: TagFamily,
     """
     # Sort-based chain resolution + component sizing + area-gated dense
     # relabel (replaces the round-3 pointer jumps, component_sizes
-    # scatter, and relabel gather — see ops/resolve.py).
+    # scatter, and relabel gather — see ops/resolve.py). Capacities scale
+    # with the segmentation resolution (config.effective_capacities).
+    E_eff, R_eff = cfg.effective_capacities(*trinary.shape)
     res = resolve_components(
         label, trinary != 127,
         min_component_pixels=cfg.min_component_pixels,
-        max_components=cfg.max_components,
+        max_components=R_eff,
         chain_steps=cfg.ccl_resolve_steps)
     ccl_converged = scan_converged & res.converged
     dense = jax.lax.optimization_barrier(res.dense)
     clusters = extract_cluster_moments(
         trinary, dense,
         comp_overflow=res.overflow,
-        max_edge_points=cfg.max_edge_points,
+        max_edge_points=E_eff,
         max_clusters=cfg.max_clusters,
         min_cluster_pixels=cfg.min_cluster_pixels,
         max_cluster_points=cfg.max_cluster_points)
@@ -152,7 +154,8 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
                 label = jax.lax.optimization_barrier(label)
                 roots = resolve_roots(
                     label, trinary != 127,
-                    max_components=cfg.max_components,
+                    max_components=cfg.effective_capacities(
+                        *trinary.shape)[1],
                     chain_steps=cfg.ccl_contraction_steps)
                 label, scan_converged = ccl_scan_pallas(
                     trinary, cfg.ccl_phase2_rounds, interpret=interp,
