@@ -130,18 +130,18 @@ def resolve_components(label: jax.Array, valid: jax.Array, *,
     # Composing the compacted parent map with itself halves the remaining
     # depth per step, so `chain_steps` doublings resolve depth 2^chain_steps
     # with one (R,)-gather per step. flatp[N] == N keeps sentinels fixed.
-    # D is ascending and (with out-of-bounds pad indices, which drop/fill)
-    # unique, so the compacted gathers/scatters carry the sorted+unique
-    # hints XLA's TPU lowering exploits.
+    # NB: do NOT pass indices_are_sorted/unique_indices hints here. They
+    # hold per frame, but under vmap the batched scatter/gather sees the
+    # hint on the COMBINED index set and XLA:TPU miscompiles — measured as
+    # a corrupted dense relabel for the batched oracle only (7548 vs 2591
+    # clusters on identical trinary; one tag lost per frame).
     flatp = jnp.concatenate([flat, jnp.full((1,), N, jnp.int32)])
     D_u = jnp.where(kvalid, D, (N + 1) + ks)     # unique, ascending; pads OOB
-    par = flatp.at[D_u].get(indices_are_sorted=True, unique_indices=True,
-                            mode="fill", fill_value=N)
+    par = flatp.at[D_u].get(mode="fill", fill_value=N)
     # inv: label value -> compacted index; sentinel labels -> self-looping
     # extra slot R. (Invalid slots' pad indices fall out of bounds -> drop.)
     inv = (jnp.full((N + 2,), R, jnp.int32)
-           .at[D_u].set(ks, indices_are_sorted=True,
-                        unique_indices=True)[:N + 1])
+           .at[D_u].set(ks)[:N + 1])
     parx = jnp.concatenate([inv[par], jnp.full((1,), R, jnp.int32)])
     prev = parx
     for _ in range(max(chain_steps, 1)):
@@ -180,9 +180,7 @@ def resolve_components(label: jax.Array, valid: jax.Array, *,
     seedpos = jnp.where(kvalid, P, (N + 1) + ks)
     rank16 = jnp.minimum(rank, (1 << 16) - 1).astype(jnp.uint32) << 16
     seed_d = (jnp.zeros((N + 1,), jnp.uint32)
-              .at[seedpos].set((dense_k + 1).astype(jnp.uint32),
-                               indices_are_sorted=True,
-                               unique_indices=True)[:N])
+              .at[seedpos].set((dense_k + 1).astype(jnp.uint32))[:N])
     carry_d = jax.lax.cummax(rank16 | seed_d) & jnp.uint32(0xFFFF)
     dense_sorted = jnp.where(vs & (carry_d > 0),
                              carry_d.astype(jnp.int32) - 1, _KMAX)
@@ -197,9 +195,7 @@ def resolve_components(label: jax.Array, valid: jax.Array, *,
             sd = (jnp.zeros((N + 1,), jnp.uint32)
                   .at[seedpos].set((((rv >> shift) & 0x7FF) + 1)
                                    .astype(jnp.uint32)
-                                   * (rv >= 0).astype(jnp.uint32),
-                                   indices_are_sorted=True,
-                                   unique_indices=True)[:N])
+                                   * (rv >= 0).astype(jnp.uint32))[:N])
             chunks.append(jax.lax.cummax(rank12 | sd) & jnp.uint32(0xFFF))
         lo, hi = chunks
         seeded = (lo > 0) & (hi > 0)
@@ -257,11 +253,9 @@ def resolve_roots(label: jax.Array, valid: jax.Array, *,
 
     flatp = jnp.concatenate([flat, jnp.full((1,), N, jnp.int32)])
     D_u = jnp.where(kvalid, D, (N + 1) + ks)
-    par = flatp.at[D_u].get(indices_are_sorted=True, unique_indices=True,
-                            mode="fill", fill_value=N)
+    par = flatp.at[D_u].get(mode="fill", fill_value=N)
     inv = (jnp.full((N + 2,), R, jnp.int32)
-           .at[D_u].set(ks, indices_are_sorted=True,
-                        unique_indices=True)[:N + 1])
+           .at[D_u].set(ks)[:N + 1])
     parx = jnp.concatenate([inv[par], jnp.full((1,), R, jnp.int32)])
     for _ in range(max(chain_steps, 1)):
         parx = parx[parx]
@@ -277,9 +271,7 @@ def resolve_roots(label: jax.Array, valid: jax.Array, *,
         sd = (jnp.zeros((N + 1,), jnp.uint32)
               .at[seedpos].set((((root_k >> shift) & 0x7FF) + 1)
                                .astype(jnp.uint32)
-                               * (root_k >= 0).astype(jnp.uint32),
-                               indices_are_sorted=True,
-                               unique_indices=True)[:N])
+                               * (root_k >= 0).astype(jnp.uint32))[:N])
         chunks.append(jax.lax.cummax(rank12 | sd) & jnp.uint32(0xFFF))
     lo, hi = chunks
     bcast = jnp.where((lo > 0) & (hi > 0),
