@@ -134,6 +134,14 @@ class DetectorConfig:
             raise ValueError("ccl_resolve_steps must be >= 1")
         if self.max_components < 1:
             raise ValueError("max_components must be >= 1")
+        if self.max_components > (1 << 16):
+            # resolve's packed-cummax broadcast carries the group rank in 16
+            # high bits (ops/resolve.py); more distinct groups than 2^16
+            # would silently leak dense ids across group boundaries.
+            raise ValueError("max_components must be <= 65536 "
+                             "(resolve packs group ranks into 16 bits)")
+        if self.ccl_rounds < 1:
+            raise ValueError("ccl_rounds must be >= 1")
         fam_h = FAMILY_SPECS[self.tag_family][1]
         if self.max_hamming > (fam_h - 1) // 2:
             raise ValueError(

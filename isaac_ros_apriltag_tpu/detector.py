@@ -84,7 +84,8 @@ def _dedupe(valid, ids, margin, corners):
 
 def detect_tail(cfg: DetectorConfig, camera: CameraModel, family: TagFamily,
                 gray: jax.Array, trinary: jax.Array, label: jax.Array,
-                scan_converged: jax.Array) -> tuple[Detections, FrameStats]:
+                scan_converged: jax.Array, *, with_pose: bool = True
+                ) -> tuple[Detections, FrameStats]:
     """The back half of the detector: CCL labels -> Detections.
 
     Shared between the single-device detector and the row-sharded
@@ -111,12 +112,16 @@ def detect_tail(cfg: DetectorConfig, camera: CameraModel, family: TagFamily,
         min_cluster_pixels=cfg.min_cluster_pixels,
         max_cluster_points=cfg.max_cluster_points)
     return _detect_from_clusters(cfg, camera, family, gray, clusters,
-                                 ccl_converged)
+                                 ccl_converged, with_pose=with_pose)
 
 
 def build_detect_fn(config: DetectorConfig, camera: CameraModel,
-                    encoding: str = "rgb8"):
-    """Returns a pure function image -> (Detections, FrameStats)."""
+                    encoding: str = "rgb8", *, with_pose: bool = True):
+    """Returns a pure function image -> (Detections, FrameStats).
+
+    with_pose=False skips the pose stage (fields come back zeroed) — for
+    callers that re-pose with their own per-camera intrinsics
+    (parallel/rig.py), so pose work is not done twice."""
     family = get_family(config.tag_family)
     cfg = config
 
@@ -166,12 +171,13 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
                 with_convergence=True)
         label = jax.lax.optimization_barrier(label)
         return detect_tail(cfg, camera, family, gray, trinary, label,
-                           scan_converged)
+                           scan_converged, with_pose=with_pose)
 
     return detect
 
 
-def _detect_from_clusters(cfg, camera, family, gray, clusters, ccl_converged
+def _detect_from_clusters(cfg, camera, family, gray, clusters, ccl_converged,
+                          *, with_pose: bool = True
                           ) -> tuple[Detections, FrameStats]:
     clusters = jax.lax.optimization_barrier(clusters)
     quads = fit_quads_from_moments(
@@ -232,7 +238,15 @@ def _detect_from_clusters(cfg, camera, family, gray, clusters, ccl_converged
         sel_corners[:, 0], sel_corners[:, 2] - sel_corners[:, 0],
         sel_corners[:, 1], sel_corners[:, 3] - sel_corners[:, 1])
 
-    poses = estimate_poses(sel_corners, camera.K, cfg.tag_size)
+    if with_pose:
+        poses = estimate_poses(sel_corners, camera.K, cfg.tag_size)
+        translation, quaternion, rotation = (
+            poses.translation, poses.quaternion, poses.rotation)
+    else:
+        T_out = sel_corners.shape[0]
+        translation = jnp.zeros((T_out, 3), jnp.float32)
+        quaternion = jnp.zeros((T_out, 4), jnp.float32)
+        rotation = jnp.zeros((T_out, 3, 3), jnp.float32)
 
     det = Detections(
         valid=sel_valid,
@@ -241,9 +255,9 @@ def _detect_from_clusters(cfg, camera, family, gray, clusters, ccl_converged
         decision_margin=sel_margin,
         center=center,
         corners=sel_corners,
-        translation=poses.translation,
-        quaternion=poses.quaternion,
-        rotation=poses.rotation,
+        translation=translation,
+        quaternion=quaternion,
+        rotation=rotation,
     )
     n_quads = jnp.sum(qvalid.astype(jnp.int32))
     stats = FrameStats(

@@ -91,6 +91,10 @@ def connected_components(trinary: jax.Array, rounds: int = 6, jumps: int = 2,
     telemetry for adversarial scenes where `rounds` is too small (one extra
     elementwise compare; the iteration bound itself stays static).
     """
+    if rounds < 1:
+        # rounds=0 would otherwise run body(-1, .) after the empty fori_loop
+        # on the with_convergence path.
+        raise ValueError("rounds must be >= 1")
     H, W = trinary.shape
     idx = (jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
            if label0 is None else label0)

@@ -240,21 +240,23 @@ def extract_cluster_moments(trinary: jax.Array, dense: jax.Array, *,
         jnp.where(cvalid, top_pos, E)].set(jnp.arange(C, dtype=jnp.int32))[:E]
     slot = _seg_scan(slot_seed[:, None], first1, lambda a, b: a)[:, 0]
 
-    # --- per-pair normalized coords + angular bin ---------------------------
+    # --- per-pair angular bin (about the broadcast centroid) ----------------
     dxp = x - cx_p
     dyp = y - cy_p
-    r2_p = jnp.maximum(tot4[:, 3] / cnt_p - cx_p * cx_p - cy_p * cy_p, 1e-12)
-    inv_scale = jax.lax.rsqrt(r2_p)
-    sxn = dxp * inv_scale
-    syn = dyp * inv_scale
     bins = _diamond_bin(dxp, dyp, K)
 
     # --- sort 2: group (cluster, bin) cells ---------------------------------
+    # TWO operands only (key + packed coords): the six moment fields are
+    # recomputed AFTER the sort at the E2 budget instead of riding the sort
+    # as five extra f32 payload streams at E (each payload stream through a
+    # 389k-element sort costs real vector time; measured sort cost scales
+    # with operand count). Per-cluster normalization parameters (centroid,
+    # scale^2) are re-fetched post-sort with a one-hot matmul from the tiny
+    # (C,) tables — bit-exact: the one-hot row has a single 1.0, so the MXU
+    # accumulation adds exact zeros, and the recomputed sxn/syn apply the
+    # same sub/rsqrt/mul ops to the same values the pre-sort form used.
     key2 = jnp.where(valid & (slot >= 0), slot * K + bins, _I32MAX)
     wv = (key2 != _I32MAX).astype(jnp.float32)
-    key2, o_w, o_x, o_y, o_xx, o_xy, o_yy = jax.lax.sort(
-        (key2, wv, sxn * wv, syn * wv, sxn * sxn * wv, sxn * syn * wv,
-         syn * syn * wv), num_keys=1)
     # Only pairs belonging to the top-C clusters survive sort 2 (they sort
     # to the front); the downstream scans + sort 3 run at the much tighter
     # per-cluster budget E2 = C * max_cluster_points instead of E. The slice
@@ -263,10 +265,27 @@ def extract_cluster_moments(trinary: jax.Array, dense: jax.Array, *,
     E2 = min(C * max_cluster_points, E)
     n_slot_pairs = jnp.sum(wv).astype(jnp.int32)
     slot_overflow = n_slot_pairs > E2
-    key2 = key2[:E2]
-    F2 = jnp.stack([o_w[:E2], o_x[:E2], o_y[:E2], o_xx[:E2], o_xy[:E2],
-                    o_yy[:E2]], -1)                               # (E2, 6)
+    key2, pay2 = jax.lax.sort((key2, pay_s), num_keys=1)
+    key2, pay2 = key2[:E2], pay2[:E2]
     v2 = key2 != _I32MAX
+    x2 = (pay2 & 0xFFF).astype(jnp.float32) * 0.5
+    y2 = ((pay2 >> 12) & 0xFFF).astype(jnp.float32) * 0.5
+    slot2 = jnp.where(v2, key2 // K, C)
+    # (E2, C) one-hot @ (C, 3) parameter table: cx, cy, clamped r2.
+    # precision=HIGHEST: the default MXU precision rounds operands through
+    # bfloat16 and would break the bit-exactness of the fetch.
+    paramC = jnp.stack([ccx, ccy, jnp.maximum(r2m, 1e-12)], -1)   # (C, 3)
+    onehot = (slot2[:, None] == jnp.arange(C, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)
+    params = jnp.matmul(onehot, paramC,
+                        precision=jax.lax.Precision.HIGHEST)      # (E2, 3)
+    cx2, cy2, r2_2 = params[:, 0], params[:, 1], params[:, 2]
+    inv2 = jax.lax.rsqrt(jnp.maximum(r2_2, 1e-12))
+    sxn = (x2 - cx2) * inv2
+    syn = (y2 - cy2) * inv2
+    wv2 = v2.astype(jnp.float32)
+    F2 = jnp.stack([wv2, sxn * wv2, syn * wv2, sxn * sxn * wv2,
+                    sxn * syn * wv2, syn * syn * wv2], -1)  # (E2, 6)
     prev_k2 = jnp.concatenate([jnp.full((1,), -1, jnp.int32), key2[:-1]])
     first2 = v2 & (key2 != prev_k2)
     run2 = _seg_scan(F2, first2[:, None], lambda a, b: a + b)

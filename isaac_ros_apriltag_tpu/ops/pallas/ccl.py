@@ -164,6 +164,10 @@ def connected_components_pallas(trinary: jax.Array, rounds: int = 6,
     values may point anywhere in the image, outside a jump's gather table
     guarantees.
     """
+    if rounds < 1:
+        # rounds=0 would otherwise run body(-1, .) after the empty fori_loop
+        # on the with_convergence path.
+        raise ValueError("rounds must be >= 1")
     H, W = trinary.shape
     Hp = _round_up(H, _ROW_BAND)
     Wp = _round_up(W, _COL_BAND)

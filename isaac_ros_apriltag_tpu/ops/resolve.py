@@ -75,6 +75,38 @@ def _seg_scan(vals, first, op):
     return out
 
 
+def _parent_ranks_join(idx_s, rank, D, kvalid, N: int, R: int) -> jax.Array:
+    """(R+1,) compacted parent map parx via a sort-join on the pixel stream.
+
+    parx[k] = compacted index of label D_k's parent par_k = flat[D_k].
+    Pixel D_k appears in the label-sorted stream (idx_s) at some position i
+    whose `rank[i]` is the compacted index of its label — i.e. of par_k —
+    so the lookup is a join of the (idx_s, rank) stream against the D_k
+    queries on pixel index: concatenate, sort by (key, tag) with table
+    entries first, copy-scan the value over equal-key segments, compact the
+    query results with a second sort. All vector-speed ops (two
+    (N+R)-element sorts + one scan) — no serializing per-element table
+    passes, and nothing here needs scatter/gather hints (a round-4 vmap
+    miscompile source). Pad queries (kvalid False) return R; ranks >= R
+    (capacity overflow, flagged by the caller) clamp to the self-looping
+    sentinel slot R.
+    """
+    ks = jnp.arange(R, dtype=jnp.int32)
+    qkey = jnp.where(kvalid, D, N + ks)          # pads: unique, unmatched
+    jkey = jnp.concatenate([idx_s, qkey])
+    jtag = jnp.concatenate([jnp.zeros(N, jnp.int32), jnp.ones(R, jnp.int32)])
+    jval = jnp.concatenate([rank, jnp.full((R,), R, jnp.int32)])
+    jj = jnp.concatenate([jnp.full((N,), R, jnp.int32), ks])
+    k1, t1, v1, j1 = jax.lax.sort((jkey, jtag, jval, jj), num_keys=2)
+    prevk = jnp.concatenate([jnp.full((1,), -1, jnp.int32), k1[:-1]])
+    firstk = (k1 != prevk)[:, None]
+    carried = _seg_scan(v1[:, None], firstk, lambda a, b: a)[:, 0]
+    ekey = jnp.where(t1 == 1, j1, N + R)
+    _, parx_r = jax.lax.sort((ekey, carried), num_keys=1)
+    return jnp.concatenate([jnp.minimum(parx_r[:R], R),
+                            jnp.full((1,), R, jnp.int32)])
+
+
 class ResolvedComponents(NamedTuple):
     dense: jax.Array        # (H, W) int32 in [0, _KMAX]; _KMAX = gated out
     n_eligible: jax.Array   # () int32 components passing the area gate
@@ -99,6 +131,13 @@ def resolve_components(label: jax.Array, valid: jax.Array, *,
     H, W = label.shape
     N = H * W
     R = min(max_components, N)
+    if R > (1 << 16):
+        # The packed-cummax broadcast carries the group rank in 16 high
+        # bits; groups ranked past 2^16 would silently share high bits and
+        # leak a neighbor's dense id across the boundary (overflow could
+        # stay False since n_groups <= R). DetectorConfig enforces the same
+        # bound; this guards direct callers.
+        raise ValueError("max_components must be <= 65536")
     flat = label.reshape(-1)
     vflat = valid.reshape(-1)
     idx = jnp.arange(N, dtype=jnp.int32)
@@ -129,20 +168,17 @@ def resolve_components(label: jax.Array, valid: jax.Array, *,
     # Measured chain depth after 16 scan rounds on noisy scenes: up to ~14.
     # Composing the compacted parent map with itself halves the remaining
     # depth per step, so `chain_steps` doublings resolve depth 2^chain_steps
-    # with one (R,)-gather per step. flatp[N] == N keeps sentinels fixed.
-    # NB: do NOT pass indices_are_sorted/unique_indices hints here. They
-    # hold per frame, but under vmap the batched scatter/gather sees the
-    # hint on the COMBINED index set and XLA:TPU miscompiles — measured as
-    # a corrupted dense relabel for the batched oracle only (7548 vs 2591
-    # clusters on identical trinary; one tag lost per frame).
-    flatp = jnp.concatenate([flat, jnp.full((1,), N, jnp.int32)])
-    D_u = jnp.where(kvalid, D, (N + 1) + ks)     # unique, ascending; pads OOB
-    par = flatp.at[D_u].get(mode="fill", fill_value=N)
-    # inv: label value -> compacted index; sentinel labels -> self-looping
-    # extra slot R. (Invalid slots' pad indices fall out of bounds -> drop.)
-    inv = (jnp.full((N + 2,), R, jnp.int32)
-           .at[D_u].set(ks)[:N + 1])
-    parx = jnp.concatenate([inv[par], jnp.full((1,), R, jnp.int32)])
+    # with one (R,)-gather per step.
+    #
+    # parx[k] (the compacted index of label D_k's parent) comes from a
+    # SORT-JOIN on the pixel stream instead of table passes: pixel D_k sits
+    # somewhere in the label-sorted stream carrying rank = the compacted
+    # index of its own label — which IS par's index (par_k = flat[D_k]).
+    # The former formulation (gather par from the (N,) flat table, scatter
+    # an (N,) inverse map, gather inv[par]) cost three serializing R-length
+    # passes over 2 MB HBM tables (~24 ns/element each, ~4.7 ms at 1080p);
+    # the join is two (N+R)-element sorts + one copy-scan at vector speed.
+    parx = _parent_ranks_join(idx_s, rank, D, kvalid, N, R)
     prev = parx
     for _ in range(max(chain_steps, 1)):
         prev = parx
@@ -233,6 +269,9 @@ def resolve_roots(label: jax.Array, valid: jax.Array, *,
     H, W = label.shape
     N = H * W
     R = min(max_components, N)
+    if R > (1 << 16):
+        raise ValueError("max_components must be <= 65536 "
+                         "(16-bit group ranks in the packed broadcast)")
     flat = label.reshape(-1)
     idx = jnp.arange(N, dtype=jnp.int32)
 
@@ -251,12 +290,7 @@ def resolve_roots(label: jax.Array, valid: jax.Array, *,
     kvalid = ks < n_groups
     D = jnp.where(kvalid, D, N)
 
-    flatp = jnp.concatenate([flat, jnp.full((1,), N, jnp.int32)])
-    D_u = jnp.where(kvalid, D, (N + 1) + ks)
-    par = flatp.at[D_u].get(mode="fill", fill_value=N)
-    inv = (jnp.full((N + 2,), R, jnp.int32)
-           .at[D_u].set(ks)[:N + 1])
-    parx = jnp.concatenate([inv[par], jnp.full((1,), R, jnp.int32)])
+    parx = _parent_ranks_join(idx_s, rank, D, kvalid, N, R)
     for _ in range(max(chain_steps, 1)):
         parx = parx[parx]
     Dx = jnp.concatenate([D, jnp.full((1,), N, jnp.int32)])

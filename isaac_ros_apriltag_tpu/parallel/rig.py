@@ -39,7 +39,10 @@ class RigDetector:
         self.camera = camera
         self.n_cameras = int(n_cameras)
         self.mesh = mesh if mesh is not None else make_mesh()
-        fn = build_detect_fn(config, camera, encoding)
+        # Per-camera rigs re-pose with their own K below, so the shared-K
+        # pose stage is skipped entirely (poses are computed exactly once).
+        fn = build_detect_fn(config, camera, encoding,
+                             with_pose=cameras is None)
         in_s = NamedSharding(self.mesh, P("cam"))
         out_s = NamedSharding(self.mesh, P("cam"))
         if cameras is None:

@@ -224,6 +224,62 @@ def test_ccl_label0_parity():
     np.testing.assert_array_equal(a, np.asarray(b))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _sweep_detectors(H, W):
+    from isaac_ros_apriltag_tpu import CameraModel, Detector, DetectorConfig
+
+    cam = CameraModel.create(fx=420.0 * W / 640, fy=420.0 * W / 640,
+                             cx=W / 2, cy=H / 2, width=W, height=H)
+    return (cam,
+            Detector(DetectorConfig(backend="interpret", tag_size=0.16), cam),
+            Detector(DetectorConfig(backend="xla", tag_size=0.16), cam))
+
+
+@pytest.mark.parametrize("size", [(480, 640), (720, 1280)])
+@pytest.mark.parametrize("noise", [2.0, 4.0, 6.0])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_two_phase_ccl_noise_sweep(size, noise, seed):
+    """Robustness sweep for the tuned two-phase CCL round counts
+    (ccl_scan_rounds=8 / ccl_phase2_rounds=6, config.py): the production
+    structure must keep detection parity with the jump-based XLA oracle
+    across noise levels, seeds and resolutions — the single-phase design's
+    failure was noise-dependent and NON-monotonic in rounds (8 rounds: 6/6;
+    24: 0/6 at noise=4 on hardware), so one fixed scene cannot protect the
+    constants. Also asserts `ccl_converged` telemetry is truthful: whenever
+    the flag is True the detections must match the oracle (the flag may
+    legitimately be False under extreme speckle — then parity is excused
+    but the flag must have said so).
+
+    Two seeds x three noise levels x two resolutions; detectors are
+    compiled once per resolution (lru_cache) to keep suite time sane.
+    """
+    H, W = size
+    if size == (720, 1280) and noise != 4.0:
+        pytest.skip("larger resolution swept at the hardware-regression "
+                    "noise level only (suite-time budget)")
+    cam, det_p, det_x = _sweep_detectors(H, W)
+    fam = get_family("tag36h11")
+    tags = []
+    for i, (x, y) in enumerate([(-0.25, -0.1), (0.25, 0.12)]):
+        t = np.array([x, y, 1.0])
+        tags.append(dict(family=fam, id=4 * i + 3, R=upright_pose(t, 0.1 * i),
+                         t=t, tag_size=0.16))
+    img = render_tags(np.asarray(cam.K), (H, W), tags, noise=noise, seed=seed)
+    dp, sp = det_p.detect_with_stats(img, encoding="mono8")
+    rx = sorted(d["id"] for d in det_x.detect(img, encoding="mono8").to_list())
+    rp = sorted(d["id"] for d in dp.to_list())
+    assert rx == [3, 7], (rx, noise, seed, size)   # oracle finds both
+    if bool(sp.ccl_converged):
+        assert rp == rx, (rp, rx, noise, seed, size)
+    else:
+        # Telemetry flagged non-convergence: parity is excused, but the
+        # production path must still not hallucinate ids.
+        assert set(rp) <= set(rx), (rp, rx, noise, seed, size)
+
+
 def test_two_phase_ccl_survives_heavy_noise():
     """The regime that broke a single long scan phase on hardware: under
     heavy noise a distant min label propagates PARTWAY into the tag border
