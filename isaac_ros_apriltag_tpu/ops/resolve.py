@@ -47,6 +47,16 @@ Pipeline:
 The reference hides its equivalent (union-find inside cuAprilTags/VPI
 binaries) behind closed calls (ref: isaac_ros_apriltag/src/
 apriltag_node.cpp:491-493, :290-293).
+
+NEGATIVE RESULT (round 5, measured on TPU): replacing the par-gather /
+inv-scatter / inv[par]-gather trio with a sort-join on the pixel stream, and
+the seed-scatter + packed-cummax broadcast with a merge-join, both LOST:
+(N+R)-element multi-operand sorts cost ~2.5 ms each at 1080p while the
+"serializing" table passes are far cheaper than their per-element model
+suggests (par gather 1.34 ms, inv scatter 0.30 ms, seed scatter+copyscan
+1.77 ms — tools/profile_resolve.py). Sorts only pay off when they REPLACE
+per-pixel passes, not R-length ones; this file keeps the table-pass
+formulation deliberately.
 """
 
 from __future__ import annotations
@@ -73,38 +83,6 @@ def _seg_scan(vals, first, op):
 
     out, _ = jax.lax.associative_scan(comb, (vals, first), axis=0)
     return out
-
-
-def _parent_ranks_join(idx_s, rank, D, kvalid, N: int, R: int) -> jax.Array:
-    """(R+1,) compacted parent map parx via a sort-join on the pixel stream.
-
-    parx[k] = compacted index of label D_k's parent par_k = flat[D_k].
-    Pixel D_k appears in the label-sorted stream (idx_s) at some position i
-    whose `rank[i]` is the compacted index of its label — i.e. of par_k —
-    so the lookup is a join of the (idx_s, rank) stream against the D_k
-    queries on pixel index: concatenate, sort by (key, tag) with table
-    entries first, copy-scan the value over equal-key segments, compact the
-    query results with a second sort. All vector-speed ops (two
-    (N+R)-element sorts + one scan) — no serializing per-element table
-    passes, and nothing here needs scatter/gather hints (a round-4 vmap
-    miscompile source). Pad queries (kvalid False) return R; ranks >= R
-    (capacity overflow, flagged by the caller) clamp to the self-looping
-    sentinel slot R.
-    """
-    ks = jnp.arange(R, dtype=jnp.int32)
-    qkey = jnp.where(kvalid, D, N + ks)          # pads: unique, unmatched
-    jkey = jnp.concatenate([idx_s, qkey])
-    jtag = jnp.concatenate([jnp.zeros(N, jnp.int32), jnp.ones(R, jnp.int32)])
-    jval = jnp.concatenate([rank, jnp.full((R,), R, jnp.int32)])
-    jj = jnp.concatenate([jnp.full((N,), R, jnp.int32), ks])
-    k1, t1, v1, j1 = jax.lax.sort((jkey, jtag, jval, jj), num_keys=2)
-    prevk = jnp.concatenate([jnp.full((1,), -1, jnp.int32), k1[:-1]])
-    firstk = (k1 != prevk)[:, None]
-    carried = _seg_scan(v1[:, None], firstk, lambda a, b: a)[:, 0]
-    ekey = jnp.where(t1 == 1, j1, N + R)
-    _, parx_r = jax.lax.sort((ekey, carried), num_keys=1)
-    return jnp.concatenate([jnp.minimum(parx_r[:R], R),
-                            jnp.full((1,), R, jnp.int32)])
 
 
 class ResolvedComponents(NamedTuple):
@@ -168,17 +146,20 @@ def resolve_components(label: jax.Array, valid: jax.Array, *,
     # Measured chain depth after 16 scan rounds on noisy scenes: up to ~14.
     # Composing the compacted parent map with itself halves the remaining
     # depth per step, so `chain_steps` doublings resolve depth 2^chain_steps
-    # with one (R,)-gather per step.
-    #
-    # parx[k] (the compacted index of label D_k's parent) comes from a
-    # SORT-JOIN on the pixel stream instead of table passes: pixel D_k sits
-    # somewhere in the label-sorted stream carrying rank = the compacted
-    # index of its own label — which IS par's index (par_k = flat[D_k]).
-    # The former formulation (gather par from the (N,) flat table, scatter
-    # an (N,) inverse map, gather inv[par]) cost three serializing R-length
-    # passes over 2 MB HBM tables (~24 ns/element each, ~4.7 ms at 1080p);
-    # the join is two (N+R)-element sorts + one copy-scan at vector speed.
-    parx = _parent_ranks_join(idx_s, rank, D, kvalid, N, R)
+    # with one (R,)-gather per step. flatp[N] == N keeps sentinels fixed.
+    # NB: do NOT pass indices_are_sorted/unique_indices hints here. They
+    # hold per frame, but under vmap the batched scatter/gather sees the
+    # hint on the COMBINED index set and XLA:TPU miscompiles — measured as
+    # a corrupted dense relabel for the batched oracle only (7548 vs 2591
+    # clusters on identical trinary; one tag lost per frame).
+    flatp = jnp.concatenate([flat, jnp.full((1,), N, jnp.int32)])
+    D_u = jnp.where(kvalid, D, (N + 1) + ks)     # unique, ascending; pads OOB
+    par = flatp.at[D_u].get(mode="fill", fill_value=N)
+    # inv: label value -> compacted index; sentinel labels -> self-looping
+    # extra slot R. (Invalid slots' pad indices fall out of bounds -> drop.)
+    inv = (jnp.full((N + 2,), R, jnp.int32)
+           .at[D_u].set(ks)[:N + 1])
+    parx = jnp.concatenate([inv[par], jnp.full((1,), R, jnp.int32)])
     prev = parx
     for _ in range(max(chain_steps, 1)):
         prev = parx
@@ -290,7 +271,12 @@ def resolve_roots(label: jax.Array, valid: jax.Array, *,
     kvalid = ks < n_groups
     D = jnp.where(kvalid, D, N)
 
-    parx = _parent_ranks_join(idx_s, rank, D, kvalid, N, R)
+    flatp = jnp.concatenate([flat, jnp.full((1,), N, jnp.int32)])
+    D_u = jnp.where(kvalid, D, (N + 1) + ks)
+    par = flatp.at[D_u].get(mode="fill", fill_value=N)
+    inv = (jnp.full((N + 2,), R, jnp.int32)
+           .at[D_u].set(ks)[:N + 1])
+    parx = jnp.concatenate([inv[par], jnp.full((1,), R, jnp.int32)])
     for _ in range(max(chain_steps, 1)):
         parx = parx[parx]
     Dx = jnp.concatenate([D, jnp.full((1,), N, jnp.int32)])

@@ -138,6 +138,26 @@ seedv = jnp.where(ks < 30000, ks, -1)
                lambda a: jax.lax.sort((a[0], a[1]), num_keys=1),
                (jnp.stack([idx_s] * K), jnp.stack([lab_s] * K)))
 
+# --- round-5 replacements: sort-join parx + merge-join broadcast ----------
+from isaac_ros_apriltag_tpu.ops.resolve import (_broadcast_group_vals,
+                                                _parent_ranks_join)
+
+kvalid = D < N
+(_, _) = timeK("parx sort-join (N+R)",
+               lambda a: _parent_ranks_join(a[0], a[1], a[2], a[2] < N, N, R),
+               (jnp.stack([idx_s] * K), jnp.stack([rank] * K),
+                jnp.stack([D] * K)))
+(_, _) = timeK("bcast merge-join 1 val (N+R)",
+               lambda a: _broadcast_group_vals(
+                   a[0], a[3] < N, a[1], a[2], [seedv], N, R)[0],
+               (jnp.stack([P] * K), jnp.stack([rank] * K),
+                jnp.stack([idx_s] * K), jnp.stack([D] * K)))
+(_, _) = timeK("bcast merge-join 2 vals (N+R)",
+               lambda a: _broadcast_group_vals(
+                   a[0], a[3] < N, a[1], a[2], [seedv, seedv], N, R)[0],
+               (jnp.stack([P] * K), jnp.stack([rank] * K),
+                jnp.stack([idx_s] * K), jnp.stack([D] * K)))
+
 (_, _) = timeK("resolve_components FULL",
                lambda a: resolve_components(
                    a[0], a[1], min_component_pixels=cfg.min_component_pixels,
