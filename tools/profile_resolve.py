@@ -138,9 +138,50 @@ seedv = jnp.where(ks < 30000, ks, -1)
                lambda a: jax.lax.sort((a[0], a[1]), num_keys=1),
                (jnp.stack([idx_s] * K), jnp.stack([lab_s] * K)))
 
-# --- round-5 replacements: sort-join parx + merge-join broadcast ----------
-from isaac_ros_apriltag_tpu.ops.resolve import (_broadcast_group_vals,
-                                                _parent_ranks_join)
+# --- round-5 NEGATIVE RESULT: sort-join parx + merge-join broadcast -------
+# These replaced the table passes above and LOST (~2x slower); reverted in
+# ops/resolve.py, kept here so the head-to-head stays reproducible.
+
+
+def _parent_ranks_join(idx_s, rank, D, kvalid, N, R):
+    ks_ = jnp.arange(R, dtype=jnp.int32)
+    qkey = jnp.where(kvalid, D, N + ks_)
+    jkey = jnp.concatenate([idx_s, qkey])
+    jtag = jnp.concatenate([jnp.zeros(N, jnp.int32), jnp.ones(R, jnp.int32)])
+    jval = jnp.concatenate([rank, jnp.full((R,), R, jnp.int32)])
+    jj = jnp.concatenate([jnp.full((N,), R, jnp.int32), ks_])
+    k1, t1, v1, j1 = jax.lax.sort((jkey, jtag, jval, jj), num_keys=2)
+    prevk = jnp.concatenate([jnp.full((1,), -1, jnp.int32), k1[:-1]])
+    firstk = (k1 != prevk)[:, None]
+    carried = _seg_scan(v1[:, None], firstk, lambda x, y: x)[:, 0]
+    ekey = jnp.where(t1 == 1, j1, N + R)
+    _, parx_r = jax.lax.sort((ekey, carried), num_keys=1)
+    return jnp.concatenate([jnp.minimum(parx_r[:R], R),
+                            jnp.full((1,), R, jnp.int32)])
+
+
+def _broadcast_group_vals(P_, kvalid, rank, idx_s, vals, N, R):
+    ks_ = jnp.arange(R, dtype=jnp.int32)
+    pos = jnp.arange(N, dtype=jnp.int32)
+    mkey = jnp.concatenate([2 * pos + 1,
+                            jnp.where(kvalid, 2 * P_, 2 * (N + ks_))])
+    mrank = jnp.concatenate([rank, jnp.where(kvalid, ks_, (1 << 30) + ks_)])
+    midx = jnp.concatenate([idx_s, jnp.full((R,), N, jnp.int32)])
+    mvals = [jnp.concatenate([jnp.full((N,), -1, jnp.int32),
+                              jnp.where(kvalid, v, -1)]) for v in vals]
+    sorted_ = jax.lax.sort((mkey, mrank, *mvals, midx), num_keys=1)
+    r3, vs3, i3 = sorted_[1], sorted_[2:2 + len(vals)], sorted_[-1]
+
+    def comb(a, b):
+        out = [b[0]]
+        for va, vb in zip(a[1:], b[1:]):
+            out.append(jnp.where((b[0] == a[0]) & (vb < 0), va, vb))
+        return tuple(out)
+
+    carried = jax.lax.associative_scan(comb, (r3, *vs3), axis=0)[1:]
+    unsorted = jax.lax.sort((i3, *carried), num_keys=1)
+    return [u[:N] for u in unsorted[1:]]
+
 
 kvalid = D < N
 (_, _) = timeK("parx sort-join (N+R)",

@@ -141,17 +141,30 @@ def main():
     # --- workaround probes on the diverging prefix -------------------------
     fn = dict(prefixes)[first_bad]
 
-    # (a) donate nothing, barrier the vmapped output per stage is already in
-    #     place; probe an optimization_barrier around the whole prefix input.
+    o1 = jax.tree.map(np.asarray, jax.jit(fn)(x1))
+
+    def ndiff_vs_single(oB):
+        return sum(int(np.sum(np.asarray(a) != np.asarray(b)[i]))
+                   for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(oB))
+                   for i in range(B))
+
+    # (a) optimization_barrier around the whole prefix input.
     def barriered(img):
         return fn(jax.lax.optimization_barrier(img))
 
     oB = jax.tree.map(np.asarray, jax.jit(jax.vmap(barriered))(xB))
-    o1 = jax.tree.map(np.asarray, jax.jit(fn)(x1))
-    nd = sum(int(np.sum(np.asarray(a) != np.asarray(b)[i]))
-             for a, b in zip(jax.tree.leaves(o1), jax.tree.leaves(oB))
-             for i in range(B))
-    log(f"workaround input-barrier: diff = {nd}")
+    log(f"workaround input-barrier: diff = {ndiff_vs_single(oB)}")
+
+    # (b) lax.map instead of vmap: per-frame graphs sequenced inside ONE
+    #     jit — no batched rolls/layouts, identical math. If this matches
+    #     single-frame, the bench can run its batched parity contract
+    #     against a lax.map oracle (a legitimate fence while the vmap
+    #     fusion bug stands).
+    oM = jax.tree.map(np.asarray, jax.jit(lambda xs: jax.lax.map(fn, xs))(xB))
+    nd_map = ndiff_vs_single(oM)
+    log(f"workaround lax.map oracle: diff = {nd_map}")
+    if nd_map == 0:
+        log("lax.map oracle EXACT: usable as the batched parity oracle.")
 
     # (b) HLO dump for offline minimization.
     dump = jax.jit(jax.vmap(fn)).lower(xB).as_text()
