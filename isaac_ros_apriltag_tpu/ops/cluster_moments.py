@@ -34,7 +34,11 @@ Pipeline (no per-pair gathers or scatters anywhere):
      to members by a forward copy-scan;
   5. per-pair diamond-angle bin about the cluster centroid (elementwise,
      no arctan) and a SECOND sort by (slot*K + bin) groups (cluster, bin)
-     cells; segmented scans give per-cell moment sums, compacted by a
+     cells — carrying only (key, packed coords): the six moment fields are
+     recomputed AFTER the sort at the tight E2 budget, with per-cluster
+     normalization parameters re-fetched by a bit-exact one-hot matmul
+     (round-5 win: five fewer f32 payload streams through the E-length
+     sort); segmented scans give per-cell moment sums, compacted by a
      third small sort and scattered into the tiny (C*K, 6) table.
 
 The reference runs its equivalent inside closed CUDA binaries (ref:
