@@ -322,6 +322,37 @@ def main():
                 if not detail["parity_ok"]:
                     fail.append(f"backend parity failed (corner {max_err}, "
                                 f"t {t_err}, q {q_err})")
+                # BATCHED parity vs a lax.map oracle (identical math,
+                # per-frame graphs sequenced in one jit). The vmap-composed
+                # oracle is unusable at batch shape: its float tail
+                # (quadfit..pose) diverges under vmap while every prefix
+                # through cluster moments is bit-exact, and lax.map equals
+                # single-frame EXACTLY (tools/repro_batched_oracle.py,
+                # ROUND5_NOTES) — so this closes the reference's
+                # same-shape backends-compare contract (ref test:37-253)
+                # without the vmap fusion bug in the loop.
+                fn_xm = jax.jit(lambda xs: jax.lax.map(
+                    build_detect_fn(cfg_x, cam, encoding="mono8"), xs))
+                det_xm, _ = fn_xm(x)
+                np.asarray(det_xm.valid)
+                vA = np.asarray(det0.valid)
+                vM = np.asarray(det_xm.valid)
+                bok = bool((vA == vM).all())
+                berr = 0.0
+                if bok:
+                    iA = np.asarray(det0.id)
+                    iM = np.asarray(det_xm.id)
+                    cA = np.asarray(det0.corners)
+                    cM = np.asarray(det_xm.corners)
+                    bok = bool((iA[vA] == iM[vM]).all())
+                    berr = float(np.abs(cA[vA] - cM[vM]).max()) \
+                        if bok and vA.any() else (0.0 if bok else float("inf"))
+                else:
+                    berr = float("inf")
+                detail["parity_batched_ok"] = bool(bok and berr <= 0.1)
+                detail["parity_batched_max_corner_err_px"] = round(berr, 5)
+                if not detail["parity_batched_ok"]:
+                    fail.append("batched parity vs lax.map oracle failed")
 
     # --- pallas batched-vs-single parity -----------------------------------
     # The oracle validates the production path single-frame only (batched
