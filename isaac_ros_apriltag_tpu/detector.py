@@ -42,16 +42,32 @@ def _pad_to_tiles(gray: jax.Array, ts: int) -> jax.Array:
     return gray
 
 
+def _pool_matrix(n: int, d: int) -> jax.Array:
+    """(n//d, n) mean-pooling operator: row i averages input block [d*i, d*i+d)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n // d, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n // d, n), 1)
+    return jnp.where(cols // d == rows, jnp.float32(1.0 / d), jnp.float32(0.0))
+
+
 def _decimate(gray: jax.Array, d: int) -> jax.Array:
     """d x d mean-pool (AprilTag 3's quad_decimate). Pixel (i, j) of the
     pooled image has center (d*j + (d-1)/2, d*i + (d-1)/2) in full-res
-    coordinates (see _upscale_coords)."""
+    coordinates (see _upscale_coords).
+
+    Formulated as two MXU matmuls against banded pooling operators instead
+    of a reshape+reduce: XLA's strided-reduce layout for the 4-way pool ran
+    at ~1.5 ms/frame at 1080p on TPU (round-5 stage table) while the matmul
+    form rides the systolic array (~4 GFLOP, well under 0.2 ms).
+    precision=HIGHEST keeps the pool exact in f32 (the default MXU path
+    rounds operands through bfloat16)."""
     if d == 1:
         return gray
-    H, W = gray.shape
     gray = _pad_to_tiles(gray, d)
     Hp, Wp = gray.shape
-    return gray.reshape(Hp // d, d, Wp // d, d).mean(axis=(1, 3))
+    pooled_rows = jnp.matmul(_pool_matrix(Hp, d), gray,
+                             precision=jax.lax.Precision.HIGHEST)
+    return jnp.matmul(pooled_rows, _pool_matrix(Wp, d).T,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _upscale_coords(xy: jax.Array, d: int) -> jax.Array:

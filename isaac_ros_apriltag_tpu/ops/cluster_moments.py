@@ -27,19 +27,24 @@ Pipeline (no per-pair gathers or scatters anywhere):
      subsample, not scan-order truncation);
   2. ONE sort of the full pair stream by the packed (black, white) dense-id
      key compacts valid pairs AND groups clusters contiguously;
-  3. segment stats (count, centroid, scale, gradient polarity) via
-     segmented scans — totals broadcast back to members by a reverse
-     copy-scan, so per-pair centroid access needs no gather;
-  4. top-`max_clusters` segments by size (one top_k), slot ids broadcast
-     to members by a forward copy-scan;
+  3. segment SIZES from positions alone (one reverse cummin: size =
+     last_pos - first_pos + 1 — every pair in a segment is valid), feeding
+     the top-`max_clusters` selection (one top_k); slot ids broadcast to
+     members by a forward copy-scan. NO E-length moment scans: round 5
+     measured the former (E,7)-channel segmented scan + (E,4) reverse
+     broadcast as the stage's dominant cost and moved all moment work down
+     to the E2 budget (~6x smaller);
+  4. a SECOND sort by slot id compacts the top-C clusters' pairs to
+     E2 = C * max_cluster_points, where per-cluster stats (centroid,
+     scale, gradient polarity) come from one (E2,7) segmented scan + a
+     direct (C,) scatter, and per-pair normalization parameters are
+     re-fetched by a bit-exact one-hot matmul;
   5. per-pair diamond-angle bin about the cluster centroid (elementwise,
-     no arctan) and a SECOND sort by (slot*K + bin) groups (cluster, bin)
-     cells — carrying only (key, packed coords): the six moment fields are
-     recomputed AFTER the sort at the tight E2 budget, with per-cluster
-     normalization parameters re-fetched by a bit-exact one-hot matmul
-     (round-5 win: five fewer f32 payload streams through the E-length
-     sort); segmented scans give per-cell moment sums, compacted by a
-     third small sort and scattered into the tiny (C*K, 6) table.
+     no arctan) and a THIRD (E2-length) sort by (slot*K + bin) groups
+     (cluster, bin) cells; segmented scans give per-cell moment sums,
+     scattered straight from their segment-last positions into the tiny
+     (C*K, 6) table (E2-length scatters are cheap on this hardware —
+     tools/profile_resolve.py).
 
 The reference runs its equivalent inside closed CUDA binaries (ref:
 isaac_ros_apriltag/src/apriltag_node.cpp:491-493, :290-293).
@@ -183,133 +188,121 @@ def extract_cluster_moments(trinary: jax.Array, dense: jax.Array, *,
     first = valid & (key_s != prev_key)
     first1 = first[:, None]
 
-    # --- per-pair fields (elementwise unpack) -------------------------------
-    x = (pay_s & 0xFFF).astype(jnp.float32) * 0.5
-    y = ((pay_s >> 12) & 0xFFF).astype(jnp.float32) * 0.5
-    gp = pay_s >> 24
-    gx = ((gp & 0x3) - 1).astype(jnp.float32)
-    gy = (((gp >> 2) & 0x3) - 1).astype(jnp.float32)
-    w = valid.astype(jnp.float32)
-    F1 = jnp.stack([w, x * w, y * w, (x * x + y * y) * w,
-                    gx * w, gy * w, (x * gx + y * gy) * w], -1)   # (E, 7)
-
-    # --- segment totals broadcast to every member (scan + reverse copy) -----
-    run = _seg_scan(F1, first1, lambda a, b: a + b)               # (E, 7)
+    # --- per-segment counts from POSITIONS (one cummin; no E-length moment
+    # scans). Every pair in a segment is valid (invalid pairs carry the
+    # sentinel key and form the tail segment), so a segment's size is
+    # last_pos - first_pos + 1; the nearest is_last at-or-after each
+    # position is its own segment's last, found by a reverse cummin. The
+    # per-cluster moment sums that round 4 computed here with (E,7)-channel
+    # segmented scans + an (E,4) reverse broadcast moved DOWN to the E2
+    # budget (~6x smaller) after sort 2 — measured round 5, the E-length
+    # multi-channel scans were the stage's dominant cost.
+    idxs = jnp.arange(E, dtype=jnp.int32)
     nxt_first = jnp.concatenate([first[1:], jnp.ones((1,), bool)])
     nxt_valid = jnp.concatenate([valid[1:], jnp.zeros((1,), bool)])
     is_last = valid & (nxt_first | ~nxt_valid)
-    tot_at_last = jnp.where(is_last[:, None], run, 0.0)
-    # reverse copy-scan: every member sees its segment's total (the carry op
-    # keeps the value seeded at the segment's is_last position). Only the
-    # four fields consumed PER PAIR (count, x, y, r^2 — for the centroid and
-    # scale normalization) are broadcast; gradient sums are per-cluster only
-    # and read from `run` at the winning start positions below.
-    tot4 = jnp.flip(_seg_scan(jnp.flip(tot_at_last[:, :4], 0),
-                              jnp.flip(is_last, 0)[:, None],
-                              lambda a, b: a), 0)                 # (E, 4)
-    cnt_p = jnp.maximum(tot4[:, 0], 1.0)
-    cx_p = tot4[:, 1] / cnt_p
-    cy_p = tot4[:, 2] / cnt_p
+    candl = jnp.where(is_last, idxs, E)
+    last_at = jnp.flip(jax.lax.cummin(jnp.flip(candl)))           # (E,)
+    cnt0 = last_at - idxs + 1
 
     # --- top-C segments by size (gates in true-pixel units) -----------------
     max_perimeter = 2 * (2 * W + 2 * H)
-    count_at_start = jnp.where(first, tot4[:, 0], 0.0).astype(jnp.int32)
+    count_at_start = jnp.where(first, cnt0, 0)
     true_size = count_at_start * stride
     eligible = (true_size >= min_cluster_pixels) & (true_size <= max_perimeter)
     gated = jnp.where(eligible, count_at_start, 0)
     top_sizes, top_pos = jax.lax.top_k(gated, C)                  # over (E,)
     cvalid = top_sizes > 0
-
-    # per-cluster scalars (C-sized gathers: trivial). Gradient sums live in
-    # `run` at each segment's LAST position (cummin locates it per start).
-    idxs = jnp.arange(E, dtype=jnp.int32)
-    cand = jnp.where(first, idxs, E)
-    suffix_min = jnp.flip(jax.lax.cummin(jnp.flip(cand)))
-    nxt_start_idx = jnp.concatenate([suffix_min[1:],
-                                     jnp.full((1,), E, jnp.int32)])
-    last_of_start = jnp.clip(nxt_start_idx - 1, 0, E - 1)
-    ctot4 = tot4[top_pos]                                         # (C, 4)
-    cgrad = run[last_of_start[top_pos]][:, 4:7]                   # (C, 3)
-    ccnt = jnp.where(cvalid, ctot4[:, 0], 0.0)
-    safe = jnp.maximum(ccnt, 1.0)
-    ccx = ctot4[:, 1] / safe
-    ccy = ctot4[:, 2] / safe
-    r2m = ctot4[:, 3] / safe - ccx * ccx - ccy * ccy
-    cscale = jnp.sqrt(jnp.maximum(r2m, 1e-12))
-    mean_dot = (cgrad[:, 2] - ccx * cgrad[:, 0] - ccy * cgrad[:, 1]) / safe
-    dark = mean_dot > 0
+    ccnt = jnp.where(cvalid, top_sizes, 0).astype(jnp.float32)
 
     # --- slot ids broadcast to members (C-scatter + forward copy-scan) ------
     slot_seed = jnp.full((E + 1,), -1, jnp.int32).at[
         jnp.where(cvalid, top_pos, E)].set(jnp.arange(C, dtype=jnp.int32))[:E]
     slot = _seg_scan(slot_seed[:, None], first1, lambda a, b: a)[:, 0]
 
-    # --- per-pair angular bin (about the broadcast centroid) ----------------
-    dxp = x - cx_p
-    dyp = y - cy_p
-    bins = _diamond_bin(dxp, dyp, K)
-
-    # --- sort 2: group (cluster, bin) cells ---------------------------------
-    # TWO operands only (key + packed coords): the six moment fields are
-    # recomputed AFTER the sort at the E2 budget instead of riding the sort
-    # as five extra f32 payload streams at E (each payload stream through a
-    # 389k-element sort costs real vector time; measured sort cost scales
-    # with operand count). Per-cluster normalization parameters (centroid,
-    # scale^2) are re-fetched post-sort with a one-hot matmul from the tiny
-    # (C,) tables — bit-exact: the one-hot row has a single 1.0, so the MXU
-    # accumulation adds exact zeros, and the recomputed sxn/syn apply the
-    # same sub/rsqrt/mul ops to the same values the pre-sort form used.
-    key2 = jnp.where(valid & (slot >= 0), slot * K + bins, _I32MAX)
-    wv = (key2 != _I32MAX).astype(jnp.float32)
-    # Only pairs belonging to the top-C clusters survive sort 2 (they sort
-    # to the front); the downstream scans + sort 3 run at the much tighter
-    # per-cluster budget E2 = C * max_cluster_points instead of E. The slice
-    # keeps the lowest slots complete; a frame whose slot-pair total
-    # overflows E2 truncates the highest slots and raises `overflow`.
+    # --- sort 2: compact the top-C clusters' pairs to the E2 budget ---------
+    # TWO operands (slot key + packed coords). Pairs of the top-C clusters
+    # sort to the front; everything downstream (per-cluster moment sums,
+    # angular binning, per-bin reductions) runs at the tight per-cluster
+    # budget E2 = C * max_cluster_points instead of E. The slice keeps the
+    # lowest slots complete; a frame whose slot-pair total overflows E2
+    # truncates the highest slots and raises `overflow` (truncation keeps
+    # each surviving slot's pairs in stable stream order).
+    key2 = jnp.where(valid & (slot >= 0), slot, C)
     E2 = min(C * max_cluster_points, E)
-    n_slot_pairs = jnp.sum(wv).astype(jnp.int32)
+    n_slot_pairs = jnp.sum((key2 != C).astype(jnp.int32))
     slot_overflow = n_slot_pairs > E2
     key2, pay2 = jax.lax.sort((key2, pay_s), num_keys=1)
     key2, pay2 = key2[:E2], pay2[:E2]
-    v2 = key2 != _I32MAX
+    v2 = key2 != C
+    slot2 = jnp.where(v2, key2, C)
     x2 = (pay2 & 0xFFF).astype(jnp.float32) * 0.5
     y2 = ((pay2 >> 12) & 0xFFF).astype(jnp.float32) * 0.5
-    slot2 = jnp.where(v2, key2 // K, C)
-    # (E2, C) one-hot @ (C, 3) parameter table: cx, cy, clamped r2.
-    # precision=HIGHEST: the default MXU precision rounds operands through
-    # bfloat16 and would break the bit-exactness of the fetch.
+    gp2 = pay2 >> 24
+    gx2 = ((gp2 & 0x3) - 1).astype(jnp.float32)
+    gy2 = (((gp2 >> 2) & 0x3) - 1).astype(jnp.float32)
+    w2 = v2.astype(jnp.float32)
+
+    # --- per-cluster stats at E2: segmented scan + one (C,) scatter ---------
+    F2 = jnp.stack([w2, x2 * w2, y2 * w2, (x2 * x2 + y2 * y2) * w2,
+                    gx2 * w2, gy2 * w2, (x2 * gx2 + y2 * gy2) * w2], -1)
+    prev_k2 = jnp.concatenate([jnp.full((1,), -1, jnp.int32), key2[:-1]])
+    first2 = v2 & (key2 != prev_k2)
+    run2 = _seg_scan(F2, first2[:, None], lambda a, b: a + b)     # (E2, 7)
+    nxt_first2 = jnp.concatenate([first2[1:], jnp.ones((1,), bool)])
+    nxt_v2 = jnp.concatenate([v2[1:], jnp.zeros((1,), bool)])
+    last2 = v2 & (nxt_first2 | ~nxt_v2)
+    ctot = (jnp.zeros((C + 1, 7), jnp.float32)
+            .at[jnp.where(last2, slot2, C)].set(run2)[:C])        # (C, 7)
+    # Normalization count: the E2-resident pair count (matches the sums it
+    # normalizes; differs from `ccnt` only when slot_overflow truncated).
+    safe = jnp.maximum(ctot[:, 0], 1.0)
+    ccx = ctot[:, 1] / safe
+    ccy = ctot[:, 2] / safe
+    r2m = ctot[:, 3] / safe - ccx * ccx - ccy * ccy
+    cscale = jnp.sqrt(jnp.maximum(r2m, 1e-12))
+    mean_dot = (ctot[:, 6] - ccx * ctot[:, 4] - ccy * ctot[:, 5]) / safe
+    dark = mean_dot > 0
+
+    # --- per-pair angular bin about the cluster centroid --------------------
+    # Per-pair normalization parameters are fetched from the tiny (C,)
+    # tables with a one-hot matmul — bit-exact: the one-hot row has a single
+    # 1.0, so the MXU accumulation adds exact zeros. precision=HIGHEST: the
+    # default MXU precision rounds operands through bfloat16 and would break
+    # the exactness of the fetch.
     paramC = jnp.stack([ccx, ccy, jnp.maximum(r2m, 1e-12)], -1)   # (C, 3)
     onehot = (slot2[:, None] == jnp.arange(C, dtype=jnp.int32)[None, :]
               ).astype(jnp.float32)
     params = jnp.matmul(onehot, paramC,
                         precision=jax.lax.Precision.HIGHEST)      # (E2, 3)
     cx2, cy2, r2_2 = params[:, 0], params[:, 1], params[:, 2]
+    bins = _diamond_bin(x2 - cx2, y2 - cy2, K)
     inv2 = jax.lax.rsqrt(jnp.maximum(r2_2, 1e-12))
     sxn = (x2 - cx2) * inv2
     syn = (y2 - cy2) * inv2
-    wv2 = v2.astype(jnp.float32)
-    F2 = jnp.stack([wv2, sxn * wv2, syn * wv2, sxn * sxn * wv2,
-                    sxn * syn * wv2, syn * syn * wv2], -1)  # (E2, 6)
-    prev_k2 = jnp.concatenate([jnp.full((1,), -1, jnp.int32), key2[:-1]])
-    first2 = v2 & (key2 != prev_k2)
-    run2 = _seg_scan(F2, first2[:, None], lambda a, b: a + b)
-    nxt_first2 = jnp.concatenate([first2[1:], jnp.ones((1,), bool)])
-    nxt_v2 = jnp.concatenate([v2[1:], jnp.zeros((1,), bool)])
-    last2 = v2 & (nxt_first2 | ~nxt_v2)
 
-    # --- sort 3: compact the <= C*K cell totals, then tiny scatter ----------
-    cell_key = jnp.where(last2, key2, _I32MAX)
-    cell_key, c_w, c_x, c_y, c_xx, c_xy, c_yy = jax.lax.sort(
-        (cell_key, run2[:, 0], run2[:, 1], run2[:, 2], run2[:, 3],
-         run2[:, 4], run2[:, 5]), num_keys=1)
+    # --- sort 3: group (cluster, bin) cells at E2, scan, direct scatter -----
+    # An E2-length (~65k) scatter into the (C*K, 6) table is CHEAP on this
+    # hardware (measured 0.3 ms class — tools/profile_resolve.py), so cell
+    # totals scatter straight from their segment-last positions; no
+    # compaction sort needed.
+    key3 = jnp.where(v2, slot2 * K + bins, _I32MAX)
+    key3, sxn3, syn3 = jax.lax.sort((key3, sxn, syn), num_keys=1)
+    v3 = key3 != _I32MAX
+    w3 = v3.astype(jnp.float32)
+    F3 = jnp.stack([w3, sxn3 * w3, syn3 * w3, sxn3 * sxn3 * w3,
+                    sxn3 * syn3 * w3, syn3 * syn3 * w3], -1)      # (E2, 6)
+    prev_k3 = jnp.concatenate([jnp.full((1,), -1, jnp.int32), key3[:-1]])
+    first3 = v3 & (key3 != prev_k3)
+    run3 = _seg_scan(F3, first3[:, None], lambda a, b: a + b)
+    nxt_first3 = jnp.concatenate([first3[1:], jnp.ones((1,), bool)])
+    nxt_v3 = jnp.concatenate([v3[1:], jnp.zeros((1,), bool)])
+    last3 = v3 & (nxt_first3 | ~nxt_v3)
     CK = C * K
-    cell_key = cell_key[:CK]
-    dest = jnp.where(cell_key != _I32MAX, cell_key, CK)
-    tables = []
-    for fld in (c_w, c_x, c_y, c_xx, c_xy, c_yy):
-        tables.append(jnp.zeros((CK + 1,), jnp.float32)
-                      .at[dest].set(fld[:CK])[:CK].reshape(C, K))
-    bw, bx, by, bxx, bxy, byy = tables
+    dest = jnp.where(last3, key3, CK)
+    table = (jnp.zeros((CK + 1, 6), jnp.float32)
+             .at[dest].set(run3)[:CK].reshape(C, K, 6))
+    bw, bx, by, bxx, bxy, byy = [table[..., i] for i in range(6)]
 
     n_clusters = jnp.sum(first.astype(jnp.int32))
     n_eligible = jnp.sum(eligible.astype(jnp.int32))

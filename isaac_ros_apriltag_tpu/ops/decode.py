@@ -61,19 +61,25 @@ def _cell_uv(cells: np.ndarray, wb: int) -> np.ndarray:
 
 
 def _bilinear(gray: jax.Array, pts: jax.Array) -> jax.Array:
-    """Sample gray (H, W) at pixel coords pts (..., 2); clamped borders."""
-    H, W = gray.shape
+    """Sample gray — (H, W), or (H, W, 4) pre-stacked via
+    refine._neighbor_stack — at pixel coords pts (..., 2); clamped borders.
+    The stacked form fetches all four taps in one gather row (per-row cost
+    dominates TPU gathers); arithmetic is bit-identical."""
+    H, W = gray.shape[:2]
     x = jnp.clip(pts[..., 0], 0.0, W - 1.001)
     y = jnp.clip(pts[..., 1], 0.0, H - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
     fy = y - y0
-    g = gray
-    v00 = g[y0, x0]
-    v01 = g[y0, x0 + 1]
-    v10 = g[y0 + 1, x0]
-    v11 = g[y0 + 1, x0 + 1]
+    if gray.ndim == 3:
+        v = gray[y0, x0]
+        v00, v01, v10, v11 = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
+    else:
+        v00 = gray[y0, x0]
+        v01 = gray[y0, x0 + 1]
+        v10 = gray[y0 + 1, x0]
+        v11 = gray[y0 + 1, x0 + 1]
     return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
             + v10 * (1 - fx) * fy + v11 * fx * fy)
 
@@ -113,9 +119,12 @@ def decode_quads(gray: jax.Array, corners: jax.Array, family: TagFamily, *,
     H = homography_from_correspondences(
         jnp.broadcast_to(jnp.asarray(_SQUARE), (C, 4, 2)), corners)  # (C, 3, 3)
 
+    from .refine import _neighbor_stack
+    gray4 = _neighbor_stack(gray)
+
     def sample(uv):
         pts = apply_homography(H, jnp.broadcast_to(uv, (C,) + uv.shape))
-        return _bilinear(gray, pts)
+        return _bilinear(gray4, pts)
 
     v_border = sample(uv_border)       # (C, nb)
     v_outer = sample(uv_outer)         # (C, no)

@@ -23,19 +23,37 @@ _STEP = 0.5         # offset step, px (profile resolution)
 _GRANGE = 1.0       # gradient baseline half-distance, px (= 2 profile steps)
 
 
+def _neighbor_stack(img: jax.Array) -> jax.Array:
+    """(H, W) -> (H, W, 4) with channels [img[y,x], img[y,x+1], img[y+1,x],
+    img[y+1,x+1]] (edge rows/cols duplicated; never read by _bilinear's
+    clamped coords). Build cost is three elementwise passes — cheap; it buys
+    ONE gather row per sample instead of four in _bilinear (per-row cost
+    dominates TPU gathers, measured ~4x on the refine stage)."""
+    v01 = jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1)
+    v10 = jnp.concatenate([img[1:, :], img[-1:, :]], axis=0)
+    v11 = jnp.concatenate([v01[1:, :], v01[-1:, :]], axis=0)
+    return jnp.stack([img, v01, v10, v11], axis=-1)
+
+
 def _bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
-    """Bilinear sample img (H, W) f32 at (x, y) pixel-center coords, clamped."""
-    H, W = img.shape
+    """Bilinear sample img (H, W) or pre-stacked (H, W, 4) f32 at (x, y)
+    pixel-center coords, clamped. Passing the `_neighbor_stack` form fetches
+    all four taps in one gather row — bit-identical arithmetic."""
+    H, W = img.shape[:2]
     x = jnp.clip(x, 0.0, W - 1.001)
     y = jnp.clip(y, 0.0, H - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
     fy = y - y0
-    v00 = img[y0, x0]
-    v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]
-    v11 = img[y0 + 1, x0 + 1]
+    if img.ndim == 3:
+        v = img[y0, x0]
+        v00, v01, v10, v11 = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
+    else:
+        v00 = img[y0, x0]
+        v01 = img[y0, x0 + 1]
+        v10 = img[y0 + 1, x0]
+        v11 = img[y0 + 1, x0 + 1]
     return ((v00 * (1 - fx) + v01 * fx) * (1 - fy)
             + (v10 * (1 - fx) + v11 * fx) * fy)
 
@@ -81,7 +99,8 @@ def refine_edges(gray: jax.Array, corners: jax.Array,
                            search_range + _GRANGE + _STEP / 2, _STEP)
     base = (pts[:, :, :, None, :]
             + prof_offs[None, None, None, :, None] * n[:, :, None, None, :])
-    prof = _bilinear(gray, base[..., 0], base[..., 1])           # (C, 4, S, P)
+    gray4 = _neighbor_stack(gray)
+    prof = _bilinear(gray4, base[..., 0], base[..., 1])          # (C, 4, S, P)
     g_in = prof[..., 2 * pad:]                                   # offset + GRANGE
     g_out = prof[..., :prof.shape[-1] - 2 * pad]                 # offset - GRANGE
     offs = prof_offs[pad:-pad]                                   # (O,)
