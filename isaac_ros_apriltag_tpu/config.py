@@ -116,6 +116,12 @@ class DetectorConfig:
                 f"Tag family {self.tag_family!r} not supported by backend {self.backend!r}")
         if self.max_tags <= 0 or self.max_tags > self.max_clusters:
             raise ValueError("max_tags must be in (0, max_clusters]")
+        if self.max_clusters > 128:
+            # cluster_moments broadcasts slot ids with an 8-bit packed
+            # cummax (ops/cluster_moments.py); more than 128 slots would
+            # not fit the pack.
+            raise ValueError("max_clusters must be <= 128 "
+                             "(8-bit slot packing in the cluster broadcast)")
         if self.tile_size < 2:
             raise ValueError("tile_size must be >= 2")
         if self.backend in ("pallas", "interpret") and self.tile_size not in (2, 4, 8, 16, 32):

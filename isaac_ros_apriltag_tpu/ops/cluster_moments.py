@@ -215,10 +215,24 @@ def extract_cluster_moments(trinary: jax.Array, dense: jax.Array, *,
     cvalid = top_sizes > 0
     ccnt = jnp.where(cvalid, top_sizes, 0).astype(jnp.float32)
 
-    # --- slot ids broadcast to members (C-scatter + forward copy-scan) ------
-    slot_seed = jnp.full((E + 1,), -1, jnp.int32).at[
-        jnp.where(cvalid, top_pos, E)].set(jnp.arange(C, dtype=jnp.int32))[:E]
-    slot = _seg_scan(slot_seed[:, None], first1, lambda a, b: a)[:, 0]
+    # --- slot ids broadcast to members (C-scatter + ONE packed cummax) ------
+    # Same packed-broadcast trick as ops/resolve.py: seeds sit exactly at
+    # group starts, so a plain cummax over (group_rank << 8 | slot+1) carries
+    # each group's seed to its members (a later group's rank high bits always
+    # win; unseeded groups read 0 low bits -> slot -1). rank <= E <
+    # 4*2047*2047 < 2^24 (the packed-coords image guard above) and
+    # slot+1 <= C <= 128 <= 2^8 - 1, so the pack fits uint32. Replaces an
+    # E-length segmented
+    # copy-scan — the log-step custom-combinator scans were measured as the
+    # stage's dominant cost class (tools/profile_cluster.py).
+    if C > 128:
+        raise ValueError("max_clusters must be <= 128 (8-bit slot packing)")
+    rank = jnp.cumsum(first.astype(jnp.uint32)) << 8
+    slot_seed = jnp.zeros((E + 1,), jnp.uint32).at[
+        jnp.where(cvalid, top_pos, E)].set(
+        jnp.arange(1, C + 1, dtype=jnp.uint32))[:E]
+    slot = (jax.lax.cummax(rank | slot_seed) & jnp.uint32(0xFF)
+            ).astype(jnp.int32) - 1
 
     # --- sort 2: compact the top-C clusters' pairs to the E2 budget ---------
     # TWO operands (slot key + packed coords). Pairs of the top-C clusters
