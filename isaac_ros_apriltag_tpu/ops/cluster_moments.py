@@ -35,16 +35,13 @@ Pipeline (no per-pair gathers or scatters anywhere):
      broadcast as the stage's dominant cost and moved all moment work down
      to the E2 budget (~6x smaller);
   4. a SECOND sort by slot id compacts the top-C clusters' pairs to
-     E2 = C * max_cluster_points, where per-cluster stats (centroid,
-     scale, gradient polarity) come from one (E2,7) segmented scan + a
-     direct (C,) scatter, and per-pair normalization parameters are
-     re-fetched by a bit-exact one-hot matmul;
-  5. per-pair diamond-angle bin about the cluster centroid (elementwise,
-     no arctan) and a THIRD (E2-length) sort by (slot*K + bin) groups
-     (cluster, bin) cells; segmented scans give per-cell moment sums,
-     scattered straight from their segment-last positions into the tiny
-     (C*K, 6) table (E2-length scatters are cheap on this hardware —
-     tools/profile_resolve.py).
+     E2 = C * max_cluster_points; at E2 every reduction is a one-hot MXU
+     matmul: per-cluster stats (centroid, scale, gradient polarity) are
+     onehot^T @ fields, per-pair normalization parameters are re-fetched
+     by the bit-exact onehot @ table form, and the (cluster, bin) moment
+     cells collapse into one factored (C, E2) @ (E2, K*6) contraction —
+     no third sort, no segmented scans, exact per-segment sums (off-slot
+     products are exact zeros; precision=HIGHEST keeps f32).
 
 The reference runs its equivalent inside closed CUDA binaries (ref:
 isaac_ros_apriltag/src/apriltag_node.cpp:491-493, :290-293).
@@ -57,7 +54,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .resolve import _KBITS, _KMAX, _seg_scan
+from .resolve import _KBITS, _KMAX
 
 _I32MAX = jnp.iinfo(jnp.int32).max
 NBINS = 64                   # angular bins (matches ops/quadfit.py)
@@ -257,17 +254,19 @@ def extract_cluster_moments(trinary: jax.Array, dense: jax.Array, *,
     gy2 = (((gp2 >> 2) & 0x3) - 1).astype(jnp.float32)
     w2 = v2.astype(jnp.float32)
 
-    # --- per-cluster stats at E2: segmented scan + one (C,) scatter ---------
+    # --- per-cluster stats at E2: ONE one-hot MXU reduction -----------------
+    # Per-slot sums are onehot^T @ fields — slots are <= 128 one-hot
+    # columns, so the MXU does the segmented reduction in one matmul
+    # (exact per segment: off-slot products are exact zeros). Replaces the
+    # (E2,7) segmented scan + scatter of the earlier revision.
+    # precision=HIGHEST throughout: the default MXU path rounds operands
+    # through bfloat16.
+    HI = jax.lax.Precision.HIGHEST
     F2 = jnp.stack([w2, x2 * w2, y2 * w2, (x2 * x2 + y2 * y2) * w2,
                     gx2 * w2, gy2 * w2, (x2 * gx2 + y2 * gy2) * w2], -1)
-    prev_k2 = jnp.concatenate([jnp.full((1,), -1, jnp.int32), key2[:-1]])
-    first2 = v2 & (key2 != prev_k2)
-    run2 = _seg_scan(F2, first2[:, None], lambda a, b: a + b)     # (E2, 7)
-    nxt_first2 = jnp.concatenate([first2[1:], jnp.ones((1,), bool)])
-    nxt_v2 = jnp.concatenate([v2[1:], jnp.zeros((1,), bool)])
-    last2 = v2 & (nxt_first2 | ~nxt_v2)
-    ctot = (jnp.zeros((C + 1, 7), jnp.float32)
-            .at[jnp.where(last2, slot2, C)].set(run2)[:C])        # (C, 7)
+    onehot = (slot2[:, None] == jnp.arange(C, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)                               # (E2, C)
+    ctot = jnp.matmul(onehot.T, F2, precision=HI)                 # (C, 7)
     # Normalization count: the E2-resident pair count (matches the sums it
     # normalizes; differs from `ccnt` only when slot_overflow truncated).
     safe = jnp.maximum(ctot[:, 0], 1.0)
@@ -280,42 +279,28 @@ def extract_cluster_moments(trinary: jax.Array, dense: jax.Array, *,
 
     # --- per-pair angular bin about the cluster centroid --------------------
     # Per-pair normalization parameters are fetched from the tiny (C,)
-    # tables with a one-hot matmul — bit-exact: the one-hot row has a single
-    # 1.0, so the MXU accumulation adds exact zeros. precision=HIGHEST: the
-    # default MXU precision rounds operands through bfloat16 and would break
-    # the exactness of the fetch.
+    # tables with the same one-hot matrix — bit-exact: the one-hot row has
+    # a single 1.0, so the MXU accumulation adds exact zeros.
     paramC = jnp.stack([ccx, ccy, jnp.maximum(r2m, 1e-12)], -1)   # (C, 3)
-    onehot = (slot2[:, None] == jnp.arange(C, dtype=jnp.int32)[None, :]
-              ).astype(jnp.float32)
-    params = jnp.matmul(onehot, paramC,
-                        precision=jax.lax.Precision.HIGHEST)      # (E2, 3)
+    params = jnp.matmul(onehot, paramC, precision=HI)             # (E2, 3)
     cx2, cy2, r2_2 = params[:, 0], params[:, 1], params[:, 2]
     bins = _diamond_bin(x2 - cx2, y2 - cy2, K)
     inv2 = jax.lax.rsqrt(jnp.maximum(r2_2, 1e-12))
     sxn = (x2 - cx2) * inv2
     syn = (y2 - cy2) * inv2
 
-    # --- sort 3: group (cluster, bin) cells at E2, scan, direct scatter -----
-    # An E2-length (~65k) scatter into the (C*K, 6) table is CHEAP on this
-    # hardware (measured 0.3 ms class — tools/profile_resolve.py), so cell
-    # totals scatter straight from their segment-last positions; no
-    # compaction sort needed.
-    key3 = jnp.where(v2, slot2 * K + bins, _I32MAX)
-    key3, sxn3, syn3 = jax.lax.sort((key3, sxn, syn), num_keys=1)
-    v3 = key3 != _I32MAX
-    w3 = v3.astype(jnp.float32)
-    F3 = jnp.stack([w3, sxn3 * w3, syn3 * w3, sxn3 * sxn3 * w3,
-                    sxn3 * syn3 * w3, syn3 * syn3 * w3], -1)      # (E2, 6)
-    prev_k3 = jnp.concatenate([jnp.full((1,), -1, jnp.int32), key3[:-1]])
-    first3 = v3 & (key3 != prev_k3)
-    run3 = _seg_scan(F3, first3[:, None], lambda a, b: a + b)
-    nxt_first3 = jnp.concatenate([first3[1:], jnp.ones((1,), bool)])
-    nxt_v3 = jnp.concatenate([v3[1:], jnp.zeros((1,), bool)])
-    last3 = v3 & (nxt_first3 | ~nxt_v3)
-    CK = C * K
-    dest = jnp.where(last3, key3, CK)
-    table = (jnp.zeros((CK + 1, 6), jnp.float32)
-             .at[dest].set(run3)[:CK].reshape(C, K, 6))
+    # --- (cluster, bin) cell tables: factored one-hot matmul ----------------
+    # cell[s, b, f] = sum_e onehot[e, s] * oh_bin[e, b] * F3[e, f] — the
+    # third sort + segmented scan + scatter of earlier revisions collapse
+    # into one (C, E2) @ (E2, K*6) MXU contraction (~6 GFLOP). Invalid rows
+    # have an all-zero onehot row, so no masking of F3 is needed beyond w2
+    # (kept explicit so non-finite garbage can never ride a 0*x product).
+    F3 = jnp.stack([w2, sxn * w2, syn * w2, sxn * sxn * w2,
+                    sxn * syn * w2, syn * syn * w2], -1)          # (E2, 6)
+    oh_bin = (bins[:, None] == jnp.arange(K, dtype=jnp.int32)[None, :]
+              ).astype(jnp.float32)                               # (E2, K)
+    G = (oh_bin[:, :, None] * F3[:, None, :]).reshape(E2, K * 6)
+    table = jnp.matmul(onehot.T, G, precision=HI).reshape(C, K, 6)
     bw, bx, by, bxx, bxy, byy = [table[..., i] for i in range(6)]
 
     n_clusters = jnp.sum(first.astype(jnp.int32))

@@ -133,13 +133,20 @@ run = CM._seg_scan(F1, first[:, None], lambda p, q: p + q)
                    lambda p, q: p), 0), stack(run, first))
 
 (_, _) = timeK("suffix cummin (E)",
-               lambda c: jnp.flip(jax.lax.cummin(jnp.flip(c))),
+               lambda c: jnp.flip(jax.lax.cummin(jnp.flip(c[0]))),
                stack(jnp.where(first, jnp.arange(E, dtype=jnp.int32), E)))
 
 gated = jnp.where(first, run[:, 0], 0.0).astype(jnp.int32)
-(_, _) = timeK("top_k (E -> C)", lambda g: jax.lax.top_k(g, C), stack(gated))
+(_, _) = timeK("top_k (E -> C)", lambda g: jax.lax.top_k(g[0], C), stack(gated))
 (_, _) = timeK("approx_max_k (E -> C)",
-               lambda g: jax.lax.approx_max_k(g.astype(jnp.float32), C),
+               lambda g: jax.lax.approx_max_k(g[0].astype(jnp.float32), C),
+               stack(gated))
+(_, _) = timeK("sort-desc top-C (E, 2op)",
+               lambda g: jax.lax.sort((-g[0], jnp.arange(E, dtype=jnp.int32)),
+                                      num_keys=1)[0][:C],
+               stack(gated))
+(_, _) = timeK("packed cummax (E)",
+               lambda g: jax.lax.cummax(g[0].astype(jnp.uint32)),
                stack(gated))
 
 slot = jnp.where(valid, jnp.minimum(key_s % 97, 127), -1)  # stand-in slots
@@ -152,6 +159,9 @@ syn = y * 0.01
                lambda a: jax.lax.sort(tuple(a), num_keys=1),
                stack(key2, wv, sxn * wv, syn * wv, sxn * sxn * wv,
                      sxn * syn * wv, syn * syn * wv))
+(_, _) = timeK("sort2 (E,2op)",
+               lambda a: jax.lax.sort(tuple(a), num_keys=1),
+               stack(key2, pay_s))
 E2 = min(C * cfg.max_cluster_points, E)
 k2s = jax.lax.sort((key2, wv), num_keys=1)[0][:E2]
 F2 = jnp.stack([wv[:E2]] * 6, -1)
