@@ -208,7 +208,11 @@ def extract_cluster_moments(trinary: jax.Array, dense: jax.Array, *,
     true_size = count_at_start * stride
     eligible = (true_size >= min_cluster_pixels) & (true_size <= max_perimeter)
     gated = jnp.where(eligible, count_at_start, 0)
-    top_sizes, top_pos = jax.lax.top_k(gated, C)                  # over (E,)
+    # top-C by size as ONE stable 2-operand descending sort: identical
+    # selection and tie order to lax.top_k (ties -> lower position first),
+    # ~3x cheaper at E on this hardware (tools/profile_cluster.py).
+    neg_sizes, top_pos = jax.lax.sort((-gated, idxs), num_keys=1)
+    top_sizes, top_pos = -neg_sizes[:C], top_pos[:C]
     cvalid = top_sizes > 0
     ccnt = jnp.where(cvalid, top_sizes, 0).astype(jnp.float32)
 
