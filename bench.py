@@ -89,7 +89,8 @@ def _stage_table(cam, frame, cfg, iters):
     from isaac_ros_apriltag_tpu.ops.pose import estimate_poses
     from isaac_ros_apriltag_tpu.ops.quadfit import fit_quads_from_moments
     from isaac_ros_apriltag_tpu.ops.refine import refine_edges
-    from isaac_ros_apriltag_tpu.ops.resolve import resolve_components, resolve_roots
+    from isaac_ros_apriltag_tpu.ops.resolve import (resolve_components,
+                                                    resolve_roots_rank)
     from isaac_ros_apriltag_tpu.ops.threshold import adaptive_threshold
 
     fam = get_family(cfg.tag_family)
@@ -141,32 +142,38 @@ def _stage_table(cam, frame, cfg, iters):
         tri = timeit("threshold", lambda s: adaptive_threshold_pallas(
             s, cfg.tile_size, cfg.min_white_black_diff), seg)
 
-        # The FULL production front: phase-1 scan -> compacted contraction ->
-        # phase-2 scan (detector.py:143-162) — not just phase 1, so the 'ccl'
-        # row attributes the whole two-phase cost instead of leaking
-        # contraction + phase 2 into residual_ms.
+        # The FULL production front: phase-1 scan -> compacted RANK-space
+        # contraction -> opaque phase-2 scan (detector.py) — not just phase
+        # 1, so the 'ccl' row attributes the whole two-phase cost instead
+        # of leaking contraction + phase 2 into residual_ms.
         def full_ccl(t):
             label, _ = ccl_scan_pallas(t, cfg.ccl_scan_rounds)
             if cfg.ccl_phase2_rounds > 0:
                 label = jax.lax.optimization_barrier(label)
-                roots = resolve_roots(
+                rank_img, T, _ovf = resolve_roots_rank(
                     label, t != 127, max_components=R_eff,
                     chain_steps=cfg.ccl_contraction_steps)
                 label, _ = ccl_scan_pallas(
                     t, cfg.ccl_phase2_rounds,
-                    label0=jax.lax.optimization_barrier(roots))
-            return label
+                    label0=jax.lax.optimization_barrier(rank_img),
+                    opaque=True)
+                return label, T
+            return label, None
 
-        lab = timeit("ccl", full_ccl, tri)
+        lab, rtab = timeit("ccl", full_ccl, tri)
+        dense = timeit("resolve", lambda t, l, T: resolve_components(
+            l, t != 127, min_component_pixels=cfg.min_component_pixels,
+            max_components=R_eff, chain_steps=cfg.ccl_resolve_steps,
+            rank_table=T).dense, tri, lab, rtab)
     else:
         tri = timeit("threshold", lambda s: adaptive_threshold(
             s, cfg.tile_size, cfg.min_white_black_diff), seg)
         lab = timeit("ccl", lambda t: connected_components(
             t, cfg.ccl_rounds, cfg.ccl_jumps, cfg.ccl_jump_every), tri)
-    dense = timeit("resolve", lambda t, l: resolve_components(
-        l, t != 127, min_component_pixels=cfg.min_component_pixels,
-        max_components=R_eff,
-        chain_steps=cfg.ccl_resolve_steps).dense, tri, lab)
+        dense = timeit("resolve", lambda t, l: resolve_components(
+            l, t != 127, min_component_pixels=cfg.min_component_pixels,
+            max_components=R_eff,
+            chain_steps=cfg.ccl_resolve_steps).dense, tri, lab)
     mom = timeit("cluster_moments", lambda t, dn: extract_cluster_moments(
         t, dn, comp_overflow=jnp.bool_(False),
         max_edge_points=E_eff,

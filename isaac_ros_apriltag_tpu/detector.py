@@ -100,13 +100,19 @@ def _dedupe(valid, ids, margin, corners):
 
 def detect_tail(cfg: DetectorConfig, camera: CameraModel, family: TagFamily,
                 gray: jax.Array, trinary: jax.Array, label: jax.Array,
-                scan_converged: jax.Array, *, with_pose: bool = True
+                scan_converged: jax.Array, *, with_pose: bool = True,
+                rank_table: jax.Array | None = None,
+                extra_overflow: jax.Array | None = None
                 ) -> tuple[Detections, FrameStats]:
     """The back half of the detector: CCL labels -> Detections.
 
     Shared between the single-device detector and the row-sharded
     SpatialDetector (parallel/spatial.py), whose front half produces the
     same (trinary, label) pair sharded+gathered across the mesh.
+    `rank_table` marks `label` as being in compacted-rank space (the
+    two-phase pallas flow — see ops/resolve.resolve_roots_rank);
+    `extra_overflow` ORs an upstream capacity flag (e.g. the contraction's)
+    into the cluster stage's overflow telemetry.
     """
     # Sort-based chain resolution + component sizing + area-gated dense
     # relabel (replaces the round-3 pointer jumps, component_sizes
@@ -117,12 +123,15 @@ def detect_tail(cfg: DetectorConfig, camera: CameraModel, family: TagFamily,
         label, trinary != 127,
         min_component_pixels=cfg.min_component_pixels,
         max_components=R_eff,
-        chain_steps=cfg.ccl_resolve_steps)
+        chain_steps=cfg.ccl_resolve_steps,
+        rank_table=rank_table)
     ccl_converged = scan_converged & res.converged
+    comp_overflow = res.overflow if extra_overflow is None \
+        else res.overflow | extra_overflow
     dense = jax.lax.optimization_barrier(res.dense)
     clusters = extract_cluster_moments(
         trinary, dense,
-        comp_overflow=res.overflow,
+        comp_overflow=comp_overflow,
         max_edge_points=E_eff,
         max_clusters=cfg.max_clusters,
         min_cluster_pixels=cfg.min_cluster_pixels,
@@ -161,9 +170,10 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
         # otherwise re-derive upstream full-image intermediates inside every
         # scan step (measured 120x end-to-end slowdown at 1080p).
         gray, trinary = jax.lax.optimization_barrier((gray, trinary))
+        rank_table = extra_overflow = None
         if cfg.backend in ("pallas", "interpret"):
             from .ops.pallas.ccl_fused import ccl_scan_pallas
-            from .ops.resolve import resolve_roots
+            from .ops.resolve import resolve_roots_rank
             interp = cfg.backend == "interpret"
             label, scan_converged = ccl_scan_pallas(
                 trinary, cfg.ccl_scan_rounds, interpret=interp)
@@ -171,23 +181,30 @@ def build_detect_fn(config: DetectorConfig, camera: CameraModel,
                 # Compacted contraction + a short second scan phase: the
                 # robust replacement for round 3's pointer-jump rounds (a
                 # single long scan phase is NON-monotonic in rounds under
-                # percolation noise — see config.py's ccl notes).
+                # percolation noise — see config.py's ccl notes). The
+                # contraction emits RANK-space labels (16-bit compacted
+                # ranks, order-isomorphic to root flat indices): one-chunk
+                # broadcast, and the final resolve's chain tables shrink
+                # from 2 MB to 256 KB (ops/resolve.resolve_roots_rank).
                 label = jax.lax.optimization_barrier(label)
-                roots = resolve_roots(
+                rank_img, rank_table, extra_overflow = resolve_roots_rank(
                     label, trinary != 127,
                     max_components=cfg.effective_capacities(
                         *trinary.shape)[1],
                     chain_steps=cfg.ccl_contraction_steps)
                 label, scan_converged = ccl_scan_pallas(
                     trinary, cfg.ccl_phase2_rounds, interpret=interp,
-                    label0=jax.lax.optimization_barrier(roots))
+                    label0=jax.lax.optimization_barrier(rank_img),
+                    opaque=True)
         else:
             label, scan_converged = connected_components(
                 trinary, cfg.ccl_rounds, cfg.ccl_jumps, cfg.ccl_jump_every,
                 with_convergence=True)
         label = jax.lax.optimization_barrier(label)
         return detect_tail(cfg, camera, family, gray, trinary, label,
-                           scan_converged, with_pose=with_pose)
+                           scan_converged, with_pose=with_pose,
+                           rank_table=rank_table,
+                           extra_overflow=extra_overflow)
 
     return detect
 

@@ -146,12 +146,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("rounds", "jumps", "jump_every",
-                                             "interpret", "with_convergence"))
+                                             "interpret", "with_convergence",
+                                             "opaque"))
 def connected_components_pallas(trinary: jax.Array, rounds: int = 6,
                                 jumps: int = 2, jump_every: int = 1, *,
                                 interpret: bool = False,
                                 with_convergence: bool = False,
-                                label0: jax.Array | None = None):
+                                label0: jax.Array | None = None,
+                                opaque: bool = False):
     """Drop-in replacement for ops.ccl.connected_components.
 
     (H, W) uint8 trinary {0,127,255} -> (H, W) int32 labels; round-for-round
@@ -163,6 +165,12 @@ def connected_components_pallas(trinary: jax.Array, rounds: int = 6,
     detector.py's two-phase CCL); `jumps` must be 0 in that mode: label
     values may point anywhere in the image, outside a jump's gather table
     guarantees.
+    `opaque` (requires label0): label values are NOT flat indices — any
+    int32 order-isomorphic labeling (e.g. the compacted ranks of
+    ops/resolve.resolve_roots_rank). They are scanned as-is (min-propagation
+    only needs an order) and returned without the flat-index remap; padding
+    pixels carry a large constant (they are trinary-invalid and never
+    propagate).
     """
     if rounds < 1:
         # rounds=0 would otherwise run body(-1, .) after the empty fori_loop
@@ -172,6 +180,7 @@ def connected_components_pallas(trinary: jax.Array, rounds: int = 6,
     Hp = _round_up(H, _ROW_BAND)
     Wp = _round_up(W, _COL_BAND)
     assert label0 is None or jumps == 0
+    assert not opaque or label0 is not None
     tri = jnp.pad(trinary, ((0, Hp - H), (0, Wp - W)),
                   constant_values=jnp.uint8(127))
     # Work in PADDED flat index space (remapped to unpadded at the end, which
@@ -181,6 +190,9 @@ def connected_components_pallas(trinary: jax.Array, rounds: int = 6,
     xs = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wp), 1)
     if label0 is None:
         label0 = ys * Wp + xs
+    elif opaque:
+        label0 = jnp.full((Hp, Wp), _INF - 1, jnp.int32).at[
+            :H, :W].set(label0)
     else:
         lp = (label0 // W) * Wp + label0 % W
         label0 = (ys * Wp + xs).at[:H, :W].set(lp)
@@ -236,7 +248,9 @@ def connected_components_pallas(trinary: jax.Array, rounds: int = 6,
         label, changed = new, jnp.any(new != label)
     else:
         label = jax.lax.fori_loop(0, rounds, body, label0, unroll=False)
-    # Remap padded flat indices -> unpadded flat indices and crop.
+    # Remap padded flat indices -> unpadded flat indices and crop
+    # (opaque labels are returned as-is: no index space to remap).
     label = label[:H, :W]
-    label = (label // Wp) * W + (label % Wp)
+    if not opaque:
+        label = (label // Wp) * W + (label % Wp)
     return (label, ~changed) if with_convergence else label

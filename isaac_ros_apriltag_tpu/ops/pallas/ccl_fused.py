@@ -34,18 +34,23 @@ import jax
 from .ccl import connected_components_pallas
 
 
-@functools.partial(jax.jit, static_argnames=("rounds", "interpret"))
+@functools.partial(jax.jit, static_argnames=("rounds", "interpret", "opaque"))
 def ccl_scan_pallas(trinary: jax.Array, rounds: int = 16, *,
                     interpret: bool = False,
-                    label0: jax.Array | None = None):
+                    label0: jax.Array | None = None,
+                    opaque: bool = False):
     """(H, W) uint8 trinary {0,127,255} -> ((H, W) int32 labels, converged).
 
     Labels are each pixel's best-known component representative (min flat
     index over the scanned region); `converged` is True iff the final round
     was a no-op. Chains left by under-convergence are finished by
     ops/resolve.py. `label0` (unpadded flat indices) seeds a later phase
-    from chain-contracted labels (detector.py's two-phase CCL).
+    from chain-contracted labels (detector.py's two-phase CCL); with
+    `opaque=True` the seed labels are any order-isomorphic int32 values
+    (e.g. resolve_roots_rank's compacted ranks) and are scanned/returned
+    as-is.
     """
     return connected_components_pallas(trinary, rounds=rounds, jumps=0,
                                        with_convergence=True,
-                                       interpret=interpret, label0=label0)
+                                       interpret=interpret, label0=label0,
+                                       opaque=opaque)

@@ -98,13 +98,23 @@ def resolve_components(label: jax.Array, valid: jax.Array, *,
                        min_component_pixels: int,
                        max_components: int = 1 << 16,
                        chain_steps: int = 4,
-                       with_roots: bool = False) -> ResolvedComponents:
+                       with_roots: bool = False,
+                       rank_table: jax.Array | None = None
+                       ) -> ResolvedComponents:
     """(H, W) CCL labels + validity mask -> area-gated dense component ids.
 
     `label` must satisfy the scan-CCL invariants: label[p] is the flat index
     of a pixel in p's component with label[p] <= p, and repeated application
     reaches a chain fixpoint (`chain_steps` pointer doublings resolve chains
     up to depth 2^chain_steps — `converged` reports whether that sufficed).
+
+    With `rank_table` (shape (R,), from resolve_roots_rank), `label` is in
+    COMPACTED-RANK space instead: label[p] is a rank r with rank_table[r]
+    the flat index of a pixel in p's component, ranks ascending in root
+    flat index. Chains then resolve through 256 KB rank-sized tables
+    instead of the 2 MB flat-label tables (the vmap-batched scatter/gather
+    cost center, measured round 5), and the resulting dense ids are
+    IDENTICAL to the flat-space form (the rank map is order-isomorphic).
     """
     H, W = label.shape
     N = H * W
@@ -116,16 +126,26 @@ def resolve_components(label: jax.Array, valid: jax.Array, *,
         # stay False since n_groups <= R). DetectorConfig enforces the same
         # bound; this guards direct callers.
         raise ValueError("max_components must be <= 65536")
+    if rank_table is not None:
+        if with_roots:
+            raise ValueError("with_roots is unsupported in rank-space mode")
+        if rank_table.shape[0] != R:
+            raise ValueError("rank_table capacity mismatch: "
+                             f"{rank_table.shape[0]} != {R}")
+    # Sentinel label value: one past the largest possible label.
+    SENT = R if rank_table is not None else N
     flat = label.reshape(-1)
     vflat = valid.reshape(-1)
     idx = jnp.arange(N, dtype=jnp.int32)
 
     # --- sort 1: pixels grouped by label; invalid sink to the end ----------
-    key = jnp.where(vflat, flat, N)
+    # (Rank mode: over-capacity pixels already carry rank R == SENT and
+    # sink with the invalid.)
+    key = jnp.where(vflat, flat, SENT)
     lab_s, idx_s = jax.lax.sort((key, idx), num_keys=1)
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), lab_s[:-1]])
     bnd = lab_s != prev                 # segment boundary (incl. invalid tail)
-    vs = lab_s != N
+    vs = lab_s != SENT
     first = vs & bnd                    # start of a distinct VALID label group
     rank = jnp.cumsum(first.astype(jnp.int32)) - 1
     n_groups = rank[-1] + 1
@@ -137,7 +157,7 @@ def resolve_components(label: jax.Array, valid: jax.Array, *,
     P, D = P[:R], D[:R]
     ks = jnp.arange(R, dtype=jnp.int32)
     kvalid = ks < n_groups
-    D = jnp.where(kvalid, D, N)
+    D = jnp.where(kvalid, D, SENT)
     nxt = jnp.concatenate([P[1:], jnp.zeros((1,), jnp.int32)])
     nxt = jnp.where(ks == n_groups - 1, n_valid_pix, nxt)
     cnt = jnp.where(kvalid, nxt - P, 0)
@@ -146,27 +166,39 @@ def resolve_components(label: jax.Array, valid: jax.Array, *,
     # Measured chain depth after 16 scan rounds on noisy scenes: up to ~14.
     # Composing the compacted parent map with itself halves the remaining
     # depth per step, so `chain_steps` doublings resolve depth 2^chain_steps
-    # with one (R,)-gather per step. flatp[N] == N keeps sentinels fixed.
+    # with one (R,)-gather per step. flatp[SENT] == SENT keeps sentinels
+    # fixed.
     # NB: do NOT pass indices_are_sorted/unique_indices hints here. They
     # hold per frame, but under vmap the batched scatter/gather sees the
     # hint on the COMBINED index set and XLA:TPU miscompiles — measured as
     # a corrupted dense relabel for the batched oracle only (7548 vs 2591
     # clusters on identical trinary; one tag lost per frame).
-    flatp = jnp.concatenate([flat, jnp.full((1,), N, jnp.int32)])
-    D_u = jnp.where(kvalid, D, (N + 1) + ks)     # unique, ascending; pads OOB
-    par = flatp.at[D_u].get(mode="fill", fill_value=N)
-    # inv: label value -> compacted index; sentinel labels -> self-looping
-    # extra slot R. (Invalid slots' pad indices fall out of bounds -> drop.)
-    inv = (jnp.full((N + 2,), R, jnp.int32)
-           .at[D_u].set(ks)[:N + 1])
+    flatp = jnp.concatenate([flat, jnp.full((1,), SENT, jnp.int32)])
+    if rank_table is not None:
+        # parent of rank group v = the (post-scan) rank label AT v's root
+        # pixel rank_table[v]: two R-length gathers, both through rank-sized
+        # or label tables.
+        D_u = jnp.where(kvalid, D, (R + 1) + ks)     # unique; pads OOB
+        Tp = jnp.concatenate([rank_table, jnp.full((1,), N, jnp.int32)])
+        root_pix = Tp.at[D_u].get(mode="fill", fill_value=N)
+        par = flatp.at[root_pix].get(mode="fill", fill_value=SENT)
+        inv = (jnp.full((R + 2,), R, jnp.int32)
+               .at[D_u].set(ks)[:R + 1])
+    else:
+        D_u = jnp.where(kvalid, D, (N + 1) + ks)     # unique, ascending; pads OOB
+        par = flatp.at[D_u].get(mode="fill", fill_value=N)
+        # inv: label value -> compacted index; sentinel labels -> self-looping
+        # extra slot R. (Invalid slots' pad indices fall out of bounds -> drop.)
+        inv = (jnp.full((N + 2,), R, jnp.int32)
+               .at[D_u].set(ks)[:N + 1])
     parx = jnp.concatenate([inv[par], jnp.full((1,), R, jnp.int32)])
     prev = parx
     for _ in range(max(chain_steps, 1)):
         prev = parx
         parx = parx[parx]
     converged = jnp.all(parx == prev)
-    Dx = jnp.concatenate([D, jnp.full((1,), N, jnp.int32)])
-    root = jnp.where(kvalid, Dx[parx[:R]], N)
+    Dx = jnp.concatenate([D, jnp.full((1,), SENT, jnp.int32)])
+    root = jnp.where(kvalid, Dx[parx[:R]], SENT)
 
     # --- component sizes + area gate + dense ranking (root order) ----------
     rkey, rcnt, korder = jax.lax.sort((root, cnt, ks), num_keys=1)
@@ -178,7 +210,7 @@ def resolve_components(label: jax.Array, valid: jax.Array, *,
     size_m = jnp.flip(_seg_scan(jnp.flip(tot_at_last)[:, None],
                                 jnp.flip(nxt_first)[:, None],
                                 lambda a, b: a), 0)[:, 0]
-    eligible = (rkey != N) & (size_m >= min_component_pixels)
+    eligible = (rkey != SENT) & (size_m >= min_component_pixels)
     new_comp = rfirst & eligible
     crank = jnp.cumsum(new_comp.astype(jnp.int32)) - 1
     n_eligible = crank[-1] + 1
@@ -300,3 +332,80 @@ def resolve_roots(label: jax.Array, valid: jax.Array, *,
     _, root_flat = jax.lax.sort((idx_s, bcast), num_keys=1)
     roots = root_flat.reshape(H, W)
     return jnp.where(valid & (roots >= 0), roots, label)
+
+
+def resolve_roots_rank(label: jax.Array, valid: jax.Array, *,
+                       max_components: int = 1 << 16,
+                       chain_steps: int = 5
+                       ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(H, W) labels -> (rank_img, rank_table, overflowed): the contraction
+    step in COMPACTED-RANK space.
+
+    rank_img[p] = the compacted index ("rank") of p's chain-fixpoint label;
+    rank_table[r] = that rank's label value — the root's flat pixel index,
+    ASCENDING in r, so ranks are order-isomorphic to root flat indices and
+    min-propagation over ranks (a following opaque-mode scan phase) is
+    bit-isomorphic to propagation over root labels. resolve_components
+    consumes the result via its rank_table parameter and produces dense ids
+    IDENTICAL to the flat-space two-phase flow.
+
+    Why rank space: ranks fit 16 bits, so the pixel broadcast is ONE packed
+    cummax (16-bit group rank | 16-bit root rank) instead of resolve_roots'
+    two 11-bit root chunks, and the downstream resolve's chain tables are
+    R-sized (256 KB) instead of N-sized (2 MB) — the vmap-batched
+    scatter/gather cost center (tools/profile_batched_stages.py, round 5).
+
+    Invalid pixels and pixels of over-capacity groups (rank >= R — only
+    under extreme percolation noise) get rank R, the rank-space sentinel:
+    they are DROPPED from detection rather than kept as raw labels, and
+    `overflowed` (n_groups > R) reports it to FrameStats.
+    """
+    H, W = label.shape
+    N = H * W
+    R = min(max_components, N)
+    if R > (1 << 16):
+        raise ValueError("max_components must be <= 65536 "
+                         "(16-bit ranks in the packed broadcast)")
+    flat = label.reshape(-1)
+    idx = jnp.arange(N, dtype=jnp.int32)
+
+    key = jnp.where(valid.reshape(-1), flat, N)
+    lab_s, idx_s = jax.lax.sort((key, idx), num_keys=1)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), lab_s[:-1]])
+    vs = lab_s != N
+    first = vs & (lab_s != prev)
+    rank = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_groups = rank[-1] + 1
+
+    ckey = jnp.where(first, rank, N)
+    _, P, D = jax.lax.sort((ckey, idx, lab_s), num_keys=1)
+    P, D = P[:R], D[:R]
+    ks = jnp.arange(R, dtype=jnp.int32)
+    kvalid = ks < n_groups
+    D = jnp.where(kvalid, D, N)
+
+    flatp = jnp.concatenate([flat, jnp.full((1,), N, jnp.int32)])
+    D_u = jnp.where(kvalid, D, (N + 1) + ks)
+    par = flatp.at[D_u].get(mode="fill", fill_value=N)
+    inv = (jnp.full((N + 2,), R, jnp.int32)
+           .at[D_u].set(ks)[:N + 1])
+    parx = jnp.concatenate([inv[par], jnp.full((1,), R, jnp.int32)])
+    for _ in range(max(chain_steps, 1)):
+        parx = parx[parx]
+    root_rank = parx[:R]                     # fixpoint's compacted index
+
+    # ONE-chunk broadcast: group rank (16 high bits) | root rank (16 low).
+    # No +1 disambiguation is needed: every in-capacity group (rank < R) is
+    # seeded at its OWN start position, so its members' cummax low bits are
+    # exactly its seed; clamped groups (rank >= R) sort after all seeded
+    # groups and are masked to R below.
+    seedpos = jnp.where(kvalid, P, (N + 1) + ks)
+    rank16 = jnp.minimum(rank, (1 << 16) - 1).astype(jnp.uint32) << 16
+    seed = (jnp.zeros((N + 1,), jnp.uint32)
+            .at[seedpos].set(root_rank.astype(jnp.uint32))[:N])
+    carried = (jax.lax.cummax(rank16 | seed) & jnp.uint32(0xFFFF)
+               ).astype(jnp.int32)
+    rank_sorted = jnp.where(vs & (rank < R), carried, R)
+    _, rank_flat = jax.lax.sort((idx_s, rank_sorted), num_keys=1)
+    rank_img = jnp.where(valid, rank_flat.reshape(H, W), R)
+    return rank_img, D, n_groups > R

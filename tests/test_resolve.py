@@ -303,3 +303,36 @@ def test_two_phase_ccl_survives_heavy_noise():
     rx = sorted(d["id"] for d in det_x.detect(img, encoding="mono8").to_list())
     assert rx == [3, 7], rx          # the oracle finds both
     assert rp == rx, (rp, rx)
+
+
+def test_rank_flow_matches_flat_flow():
+    """The RANK-space two-phase flow (resolve_roots_rank -> opaque phase-2
+    scan -> resolve_components(rank_table=...)) produces dense ids EXACTLY
+    equal to the flat-label flow (resolve_roots -> phase-2 ->
+    resolve_components): ranks are order-isomorphic to root flat indices,
+    and min-propagation commutes with monotone relabelings."""
+    from isaac_ros_apriltag_tpu.ops.resolve import (resolve_roots,
+                                                    resolve_roots_rank)
+
+    tri = _speckle_scene(shape=(64, 128))
+    valid = jnp.asarray(tri != 127)
+    R = 1024
+    lab1, _ = ccl_scan_pallas(jnp.asarray(tri), 4, interpret=True)
+
+    roots = resolve_roots(lab1, valid, max_components=R)
+    lab2f, _ = ccl_scan_pallas(jnp.asarray(tri), 3, interpret=True,
+                               label0=roots)
+    res_flat = resolve_components(lab2f, valid, min_component_pixels=4,
+                                  max_components=R, chain_steps=3)
+
+    rank_img, table, ovf = resolve_roots_rank(lab1, valid, max_components=R)
+    lab2r, _ = ccl_scan_pallas(jnp.asarray(tri), 3, interpret=True,
+                               label0=rank_img, opaque=True)
+    res_rank = resolve_components(lab2r, valid, min_component_pixels=4,
+                                  max_components=R, chain_steps=3,
+                                  rank_table=table)
+
+    np.testing.assert_array_equal(np.asarray(res_flat.dense),
+                                  np.asarray(res_rank.dense))
+    assert int(res_flat.n_eligible) == int(res_rank.n_eligible)
+    assert not bool(ovf)
