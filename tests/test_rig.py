@@ -49,10 +49,18 @@ def test_rig_matches_single_device(camera, rig_frames):
     single = jax.jit(jax.vmap(build_detect_fn(cfg, camera, "mono8")))
     det1, stats1 = single(jnp.asarray(rig_frames))
 
-    np.testing.assert_array_equal(np.asarray(det.valid), np.asarray(det1.valid))
+    v = np.asarray(det.valid)
+    np.testing.assert_array_equal(v, np.asarray(det1.valid))
     np.testing.assert_array_equal(np.asarray(det.id), np.asarray(det1.id))
-    np.testing.assert_allclose(np.asarray(det.corners),
-                               np.asarray(det1.corners), rtol=0, atol=1e-4)
+    # Corners compared on VALID lanes only: invalid slots hold don't-care
+    # garbage whose bits legitimately differ between GSPMD partitionings
+    # (the sharded compilation tiles the cluster/cell matmuls differently,
+    # ulp-level sum changes get amplified arbitrarily in masked-out
+    # lanes — measured round 5: valid lanes agree to 2.3e-5 px while
+    # invalid lanes drifted 47 px).
+    np.testing.assert_allclose(np.asarray(det.corners)[v],
+                               np.asarray(det1.corners)[np.asarray(det1.valid)],
+                               rtol=0, atol=1e-4)
     want = [5 * c + 2 for c in range(N_CAM)]
     got = [int(np.asarray(det.id)[c][np.asarray(det.valid)[c]][0])
            for c in range(N_CAM)]
